@@ -1,0 +1,103 @@
+"""Benchmark driver entry — prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: training patches/sec/chip on the BASELINE configs[0] shape
+(dilated_icpr_rate6, fixed 25x25 patches, batch 100 — Coffee-sized
+synthetic raster since the real dataset is not on this machine;
+BASELINE.md provenance caveat).
+
+vs_baseline: the reference implementation is legacy TF-CPU and its
+throughput was never published (BASELINE.md), so the baseline is a CPU
+proxy measured ON THIS MACHINE: the same train step executed by XLA-CPU
+(a flattering stand-in for TF1-CPU). Measured once and cached in
+bench_baseline.json; the driver target is >=10x.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+BENCH_SNIPPET = r"""
+import json, time, sys, os
+import jax
+if os.environ.get("DYNSEG_BENCH_PLATFORM") == "cpu":
+    # axon sitecustomize force-sets jax_platforms; override post-import
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, {repo!r})
+from dynseg.config import Config, DataConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.data.datasets import load_synthetic
+from dynseg.train import Trainer
+
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+cfg = Config(
+    model=ModelConfig(net_type="dilated_icpr_rate6", num_classes=2,
+                      num_input_bands=3),
+    sched=SchedulerConfig(distribution_type="single_fixed", values=(25,)),
+    train=TrainConfig(batch_size=batch, seed=0),
+    data=DataConfig(dataset="synthetic"),
+)
+train_tiles, _ = load_synthetic(seed=0, num_tiles=4, size=256)
+trainer = Trainer(cfg, train_tiles)
+state = trainer.init_state(jax.random.key(0))
+rng = jax.random.key(1)
+# warmup / compile
+for _ in range(3):
+    rng, dr = jax.random.split(rng)
+    state, m = trainer.train_step(state, 25, dr)
+jax.block_until_ready(m["loss"])
+t0 = time.perf_counter()
+for _ in range(steps):
+    rng, dr = jax.random.split(rng)
+    state, m = trainer.train_step(state, 25, dr)
+jax.block_until_ready(m["loss"])
+dt = time.perf_counter() - t0
+print("RESULT", json.dumps({{"patches_per_sec": batch * steps / dt,
+                             "platform": jax.devices()[0].platform}}))
+"""
+
+
+def run_bench(env_extra, batch, steps):
+    env = dict(os.environ)
+    env.update(env_extra)
+    code = BENCH_SNIPPET.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(batch), str(steps)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"bench subprocess failed:\n{out.stdout}\n{out.stderr}")
+
+
+def main():
+    # CPU proxy baseline (cached across rounds; small step count — CPU is slow)
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)
+    else:
+        baseline = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"}, batch=16, steps=4)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(baseline, f)
+
+    # TPU (or whatever the default platform is) measurement
+    result = run_bench({}, batch=100, steps=30)
+    value = result["patches_per_sec"]
+    vs = value / baseline["patches_per_sec"]
+    print(json.dumps({
+        "metric": "train_patches_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "patches/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Checkpoint save/restore — SURVEY.md C16.
+
+The reference uses tf.train.Saver (periodic save, restore for testing /
+resume). Rebuilt on orbax-checkpoint: params + batch_stats + opt_state +
+iteration + the scheduler's score table + numpy RNG states, so a resumed
+run continues the SAME dynamic-scale trajectory (recovery story:
+"restart from last checkpoint", SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from dynseg.sched.scheduler import ScaleScheduler
+from dynseg.train import TrainState, Trainer
+
+
+class CheckpointManager:
+    def __init__(self, output_path: str, max_to_keep: int = 3):
+        self.dir = os.path.abspath(os.path.join(output_path, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, it: int, state: TrainState, scheduler: ScaleScheduler) -> None:
+        sched_state = scheduler.state_dict()
+        self.mgr.save(
+            it,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                scheduler=ocp.args.JsonSave(_jsonable(sched_state)),
+            ),
+        )
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(
+        self, trainer: Trainer, scheduler: ScaleScheduler, step: Optional[int] = None
+    ) -> Tuple[TrainState, int]:
+        """Restore into a freshly-initialized state template (shapes/dtypes
+        from trainer.init_state)."""
+        step = self.latest_step() if step is None else step
+        assert step is not None, f"no checkpoint under {self.dir}"
+        template = trainer.init_state(jax.random.key(0))
+        restored = self.mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                scheduler=ocp.args.JsonRestore(),
+            ),
+        )
+        scheduler.load_state_dict(_unjsonable(restored["scheduler"]))
+        return restored["state"], step
+
+
+def _jsonable(obj):
+    """numpy-state dicts -> pure JSON (orbax JsonSave requirement)."""
+    return json.loads(json.dumps(obj, default=_np_default))
+
+
+def _np_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return {"__ndarray__": o.tolist(), "dtype": str(o.dtype)}
+    raise TypeError(f"not jsonable: {type(o)}")
+
+
+def _unjsonable(obj):
+    if isinstance(obj, dict):
+        if "__ndarray__" in obj:
+            return np.array(obj["__ndarray__"], dtype=obj["dtype"])
+        return {k: _unjsonable(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_unjsonable(v) for v in obj]
+    return obj

@@ -1,0 +1,269 @@
+"""CLI mirroring the reference's argparse surface — SURVEY.md C1, L5.
+
+Reference entry ([R] dynamic.py:≈main argparse):
+    python dynamic.py --operation {training, validate_test} --dataset ...
+        --net_type ... --distribution_type ... --values 25,35,45,55,65 ...
+
+Same flag names here:
+    python -m dynseg --operation training --dataset coffee \
+        --dataset_path /data/coffee --output_path /out --fold 0 \
+        --net_type dilated_icpr_rate6 --distribution_type multinomial \
+        --values 25,35,45,55,65 --update_type acc \
+        --learning_rate 0.01 --weight_decay 5e-4 --batch_size 100 \
+        --niter 200000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from dynseg import config as cfgmod
+from dynseg.config import Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.data.datasets import NUM_CLASSES, load_dataset
+
+
+def parse_values(s) -> List[int]:
+    if isinstance(s, (list, tuple)):
+        return [int(v) for v in s]
+    return [int(v) for v in str(s).replace(" ", "").split(",") if v]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dynseg",
+        description="TPU-native dynamic multi-context remote-sensing segmentation",
+    )
+    # --- reference-compatible flags (SURVEY.md C1) ---
+    p.add_argument("--operation", required=True,
+                   choices=["training", "testing", "validate_test"],
+                   help="training, or full-tile prediction (testing/validate_test are synonyms)")
+    p.add_argument("--dataset", default="synthetic", choices=cfgmod.DATASETS)
+    p.add_argument("--dataset_path", default="")
+    p.add_argument("--output_path", default="/tmp/dynseg_out")
+    p.add_argument("--net_type", default="dilated_icpr_rate6", choices=cfgmod.NET_TYPES)
+    p.add_argument("--learning_rate", type=float, default=0.01)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--niter", type=int, default=200000)
+    p.add_argument("--distribution_type", default="multinomial",
+                   choices=cfgmod.DISTRIBUTION_TYPES)
+    p.add_argument("--values", default="25,35,45,55,65",
+                   help="comma-separated patch sizes (dynamic scales)")
+    p.add_argument("--update_type", default="acc", choices=cfgmod.UPDATE_TYPES,
+                   help="scheduler score source: batch acc or loss")
+    p.add_argument("--fold", type=int, default=0)
+    # --- new-framework knobs ---
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="data-parallel TPU chips (mesh axis 'data')")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--no_balanced_sampling", action="store_true")
+    p.add_argument("--rescale_batch_by_area", action="store_true")
+    p.add_argument("--stride_fraction", type=float, default=0.5)
+    p.add_argument("--window_batch", type=int, default=128)
+    p.add_argument("--test_scales", default="",
+                   help="scales fused at inference (default: training values)")
+    p.add_argument("--no_prediction_maps", action="store_true")
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--lr_decay_rate", type=float, default=1.0)
+    p.add_argument("--lr_decay_steps", type=int, default=50000)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    values = parse_values(args.values)
+    test_scales = parse_values(args.test_scales) if args.test_scales else values
+    cfg = Config(
+        model=ModelConfig(
+            net_type=args.net_type,
+            num_classes=NUM_CLASSES[args.dataset],
+            compute_dtype=args.compute_dtype,
+        ),
+        sched=SchedulerConfig(
+            distribution_type=args.distribution_type,
+            values=tuple(values),
+            update_type=args.update_type,
+        ),
+        train=TrainConfig(
+            learning_rate=args.learning_rate,
+            lr_decay_rate=args.lr_decay_rate,
+            lr_decay_steps=args.lr_decay_steps,
+            momentum=args.momentum,
+            weight_decay=args.weight_decay,
+            batch_size=args.batch_size,
+            niter=args.niter,
+            rescale_batch_by_area=args.rescale_batch_by_area,
+            eval_every=args.eval_every,
+            checkpoint_every=args.checkpoint_every,
+            seed=args.seed,
+            num_devices=args.num_devices,
+            output_path=args.output_path,
+            resume=args.resume,
+        ),
+        infer=InferConfig(
+            stride_fraction=args.stride_fraction,
+            window_batch=args.window_batch,
+            scales=tuple(test_scales),
+            save_prediction_maps=not args.no_prediction_maps,
+        ),
+        data=DataConfig(
+            dataset=args.dataset,
+            dataset_path=args.dataset_path,
+            fold=args.fold,
+            balanced_sampling=not args.no_balanced_sampling,
+            augment=not args.no_augment,
+        ),
+    )
+    return cfg.validate()
+
+
+def _fix_num_input_bands(cfg: Config, train_tiles) -> Config:
+    bands = train_tiles.num_bands
+    if bands != cfg.model.num_input_bands:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_input_bands=bands)
+        )
+    return cfg
+
+
+def run_training(cfg: Config, log=print) -> dict:
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.infer import validate_test
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import Trainer, train_loop
+
+    train_tiles, test_tiles = load_dataset(
+        cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
+        **({"seed": cfg.train.seed} if cfg.data.dataset == "synthetic" else {}),
+    )
+    cfg = _fix_num_input_bands(cfg, train_tiles)
+    os.makedirs(cfg.train.output_path, exist_ok=True)
+
+    trainer = Trainer(cfg, train_tiles)
+    scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    ckpt = CheckpointManager(cfg.train.output_path)
+
+    start_iter = 0
+    if cfg.train.resume and ckpt.latest_step() is not None:
+        state, start_iter = ckpt.restore(trainer, scheduler)
+        log(f"resumed from iteration {start_iter}")
+    else:
+        state = trainer.init_state(jax.random.key(cfg.train.seed))
+
+    log("pre-compiling per-scale step buckets (SURVEY.md C12)...")
+    times = trainer.compile_buckets(state)
+    log(" ".join(f"scale {s}: {t:.1f}s" for s, t in times.items()))
+
+    # Periodic crop validation on held-out tiles (reference prints val
+    # metrics every K iters, SURVEY.md C13/C17).
+    from dynseg.data.sampler import BalancedPatchSampler
+    from dynseg.metrics import scores_from_confusion
+
+    val_dev, val_padded = trainer.put_tiles(test_tiles)
+    val_sampler = BalancedPatchSampler(
+        val_padded, cfg.model.num_classes, pad=trainer.pad,
+        seed=cfg.train.seed + 17, balanced=False,
+    )
+    val_scale = max(cfg.sched.values)
+    val_pos = val_sampler.sample(min(64, cfg.train.batch_size))
+
+    def on_eval(it, st):
+        m = trainer.eval_crops(st, val_dev, val_pos, val_scale)
+        s = scores_from_confusion(np.asarray(m["confusion"]))
+        log(
+            f"[val @ iter {it}] loss={float(m['loss']):.4f} "
+            f"acc={float(m['acc']):.4f} kappa={s['kappa']:.4f} "
+            f"meanF1={s['mean_f1']:.4f}"
+        )
+
+    state = train_loop(
+        cfg,
+        trainer,
+        state,
+        scheduler,
+        start_iter=start_iter,
+        log=log,
+        on_eval=on_eval,
+        checkpointer=lambda it, st, sch: ckpt.save(it, st, sch),
+    )
+    ckpt.save(cfg.train.niter, state, scheduler)
+    log(f"training done; final scale distribution: {scheduler.summary()}")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    scores = validate_test(cfg, variables, test_tiles, log=log)
+    if cfg.infer.save_prediction_maps:
+        from dynseg.viz import save_prediction_maps
+        save_prediction_maps(
+            scores["predictions"], cfg.data.dataset, cfg.train.output_path
+        )
+    _write_scores(cfg, scores)
+    return scores
+
+
+def run_testing(cfg: Config, log=print) -> dict:
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.infer import validate_test
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import Trainer
+
+    train_tiles, test_tiles = load_dataset(
+        cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
+        **({"seed": cfg.train.seed} if cfg.data.dataset == "synthetic" else {}),
+    )
+    cfg = _fix_num_input_bands(cfg, train_tiles)
+    trainer = Trainer(cfg, train_tiles)
+    scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    ckpt = CheckpointManager(cfg.train.output_path)
+    state, step = ckpt.restore(trainer, scheduler)
+    log(f"restored checkpoint at iteration {step}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    scores = validate_test(cfg, variables, test_tiles, log=log)
+    if cfg.infer.save_prediction_maps:
+        from dynseg.viz import save_prediction_maps
+        save_prediction_maps(
+            scores["predictions"], cfg.data.dataset, cfg.train.output_path
+        )
+    _write_scores(cfg, scores)
+    return scores
+
+
+def _write_scores(cfg: Config, scores: dict) -> None:
+    out = {
+        "oa": scores["oa"],
+        "kappa": scores["kappa"],
+        "mean_f1": scores["mean_f1"],
+        "f1": list(map(float, scores["f1"])),
+    }
+    path = os.path.join(cfg.train.output_path, "scores.json")
+    os.makedirs(cfg.train.output_path, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    t0 = time.time()
+    if args.operation == "training":
+        run_training(cfg)
+    else:  # testing / validate_test
+        run_testing(cfg)
+    print(f"total time: {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""Configuration dataclasses for the dynseg framework.
+
+Mirrors the reference CLI surface (SURVEY.md C1: operation, dataset,
+net_type, lr, weight decay, batch size, niter, distribution_type, values,
+update_type, fold) while keeping every parity-sensitive unknown an explicit
+knob (SURVEY.md §7 hard part 1): activation slope, batch-norm on/off,
+pooling window, scheduler sign convention, LR decay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+# Patch sizes used by the reference's dynamic multi-context training
+# (SURVEY.md C12: lambda in {25,...,65}).
+DEFAULT_SCALES = (25, 35, 45, 55, 65)
+
+DISTRIBUTION_TYPES = ("single_fixed", "multi_fixed", "uniform", "multinomial")
+UPDATE_TYPES = ("acc", "loss")
+NET_TYPES = (
+    "dilated_icpr_rate6",
+    "dilated_icpr_rate6_densely",
+    "dilated_grsl",
+    "dilated_grsl_rate8",
+    "dilated_icpr_original",
+)
+DATASETS = ("coffee", "grss_dfc_2014", "vaihingen", "potsdam", "synthetic")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture knobs shared by all dilated network variants."""
+
+    net_type: str = "dilated_icpr_rate6"
+    num_classes: int = 2
+    num_input_bands: int = 3
+    # Reference nets use batch-norm + leaky ReLU inside each conv block
+    # (SURVEY.md C6, MED confidence on slope; TF default slope is 0.2).
+    leaky_slope: float = 0.1
+    use_batch_norm: bool = True
+    # Stride-1 SAME max-pool window interleaved between conv blocks
+    # (SURVEY.md §3.3: 3x3, stride 1).
+    pool_window: int = 3
+    # Compute dtype for convolutions; params always float32. bfloat16 keeps
+    # the MXU fed at full rate on TPU; float32 for parity tests.
+    compute_dtype: str = "float32"
+    # Channel-width multiplier on every conv block (1.0 = reference width).
+    # <1 gives cheap models for CPU tests / ablations.
+    width_multiplier: float = 1.0
+    # Dropout keep-prob on the final feature map (reference passes a dropout
+    # placeholder; exact rate LOW confidence — default off).
+    dropout_rate: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Dynamic patch-size scheduler (SURVEY.md C12)."""
+
+    distribution_type: str = "multinomial"
+    values: Sequence[int] = DEFAULT_SCALES
+    # Score source: batch accuracy or batch loss (reference flag update_type).
+    update_type: str = "acc"
+    # EMA factor for score updates (exact reference rule MED confidence —
+    # SURVEY.md §3.4 says EMA or running mean).
+    ema: float = 0.9
+    # Sign convention (SURVEY.md §7 hard part 1): if True, the multinomial
+    # favours scales with HIGH score (exploit well-performing contexts —
+    # the paper's reading); if False it favours LOW score (train the
+    # struggling contexts harder). Bracketable for parity.
+    favor_high_score: bool = True
+    # Temperature for the multinomial over normalized scores.
+    temperature: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization & loop settings (SURVEY.md C11, C13)."""
+
+    learning_rate: float = 0.01
+    # Optional exponential LR decay (LOW confidence in reference; off = flat).
+    lr_decay_rate: float = 1.0
+    lr_decay_steps: int = 50000
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    batch_size: int = 100
+    niter: int = 200000
+    # Keep per-step *pixel count* roughly constant across patch sizes so
+    # memory and loss magnitudes stay comparable between buckets
+    # (SURVEY.md §7 hard part 2). If True, batch for scale s becomes
+    # round(batch_size * (values[0]/s)**2), floored at 8.
+    rescale_batch_by_area: bool = False
+    eval_every: int = 500
+    checkpoint_every: int = 1000
+    seed: int = 0
+    # Data-parallel device count; 1 = single chip. The mesh axis is "data".
+    num_devices: int = 1
+    output_path: str = "/tmp/dynseg_out"
+    resume: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    """Full-tile multi-scale sliding-window inference (SURVEY.md C15)."""
+
+    # Window stride as a fraction of the window size (MED confidence:
+    # reference stride ≈ λ/2 — SURVEY.md C15).
+    stride_fraction: float = 0.5
+    # Batch of windows per device step.
+    window_batch: int = 256
+    # Scales fused at test time; default: the training schedule's values.
+    scales: Sequence[int] = DEFAULT_SCALES
+    save_prediction_maps: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"
+    dataset_path: str = ""
+    fold: int = 0
+    # Per-class balanced sampling of patch centers (SURVEY.md C4).
+    balanced_sampling: bool = True
+    # Random 90-degree rotations + flips (the 8-element dihedral group),
+    # applied identically to image and label patches (SURVEY.md C5).
+    augment: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    sched: SchedulerConfig = SchedulerConfig()
+    train: TrainConfig = TrainConfig()
+    infer: InferConfig = InferConfig()
+    data: DataConfig = DataConfig()
+
+    def validate(self) -> "Config":
+        assert self.model.net_type in NET_TYPES, self.model.net_type
+        assert self.sched.distribution_type in DISTRIBUTION_TYPES
+        assert self.sched.update_type in UPDATE_TYPES
+        assert self.data.dataset in DATASETS
+        assert len(self.sched.values) >= 1
+        return self

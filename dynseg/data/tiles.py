@@ -1,0 +1,108 @@
+"""Tile storage and normalization statistics.
+
+The reference loads full georeferenced tiles + masks into host RAM and
+extracts numpy patches per step — a CPU bottleneck (SURVEY.md §3.1 hot
+loops). TPU-first redesign: tiles live as ONE padded, device-resident
+array (HBM); per-step batches are produced by an on-device gather
+(dynseg.ops.gather) indexed by host-sampled balanced positions. Mean/std
+normalization is folded into the gather (SURVEY.md C3/C4 TPU equivalents).
+
+Reference anchors: [R] dynamic.py:≈loader section (load_images,
+compute_image_mean, normalize_images); SURVEY.md C2, C3, C14.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IGNORE_LABEL = 255  # pixels excluded from loss/metrics (ISPRS clutter/void)
+
+
+@dataclasses.dataclass
+class TileSet:
+    """A set of full tiles (images + masks) padded to a common shape.
+
+    images: (T, H, W, C) float32, raw (unnormalized) values
+    masks:  (T, H, W) int32 class ids, IGNORE_LABEL outside valid area
+    valid_hw: (T, 2) original (h, w) per tile before padding
+    mean/std: per-channel stats computed from TRAINING tiles only
+              (SURVEY.md C3) over valid pixels.
+    """
+
+    images: np.ndarray
+    masks: np.ndarray
+    valid_hw: np.ndarray
+    mean: Optional[np.ndarray] = None
+    std: Optional[np.ndarray] = None
+
+    @property
+    def num_tiles(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def num_bands(self) -> int:
+        return self.images.shape[-1]
+
+
+def pack_tiles(
+    images: Sequence[np.ndarray], masks: Sequence[np.ndarray]
+) -> TileSet:
+    """Pad a list of variably-sized (H,W,C) tiles into one dense array.
+
+    Padding area gets IGNORE_LABEL in the mask so it never contributes to
+    sampling, loss, or metrics.
+    """
+    assert len(images) == len(masks) and len(images) > 0
+    hs = [im.shape[0] for im in images]
+    ws = [im.shape[1] for im in images]
+    c = images[0].shape[2]
+    H, W = max(hs), max(ws)
+    T = len(images)
+    out_im = np.zeros((T, H, W, c), dtype=np.float32)
+    out_mk = np.full((T, H, W), IGNORE_LABEL, dtype=np.int32)
+    valid = np.zeros((T, 2), dtype=np.int32)
+    for t, (im, mk) in enumerate(zip(images, masks)):
+        h, w = im.shape[:2]
+        assert mk.shape[:2] == (h, w), (im.shape, mk.shape)
+        out_im[t, :h, :w] = im.astype(np.float32)
+        out_mk[t, :h, :w] = mk.astype(np.int32)
+        valid[t] = (h, w)
+    return TileSet(images=out_im, masks=out_mk, valid_hw=valid)
+
+
+def compute_stats(ts: TileSet) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel mean/std over valid (non-ignored) pixels of all tiles
+    ([R] dynamic.py:≈compute_image_mean; SURVEY.md C3)."""
+    valid = ts.masks != IGNORE_LABEL  # (T,H,W)
+    px = ts.images[valid]  # (N, C)
+    mean = px.mean(axis=0)
+    std = px.std(axis=0)
+    std = np.where(std < 1e-6, 1.0, std)
+    ts.mean, ts.std = mean.astype(np.float32), std.astype(np.float32)
+    return ts.mean, ts.std
+
+
+def mirror_pad(ts: TileSet, pad: int) -> TileSet:
+    """Reflect-pad every tile by `pad` on each spatial side so patch centers
+    anywhere in the valid area always have full context, and sliding windows
+    cover tile edges ([R] dynamic.py:≈manipulate_border_array; SURVEY.md C14).
+
+    Mask padding uses IGNORE_LABEL (padded pixels never scored/sampled).
+    """
+    if pad <= 0:
+        return ts
+    im = np.pad(
+        ts.images,
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        mode="reflect",
+    )
+    mk = np.pad(
+        ts.masks,
+        ((0, 0), (pad, pad), (pad, pad)),
+        mode="constant",
+        constant_values=IGNORE_LABEL,
+    )
+    return TileSet(images=im, masks=mk, valid_hw=ts.valid_hw.copy(), mean=ts.mean, std=ts.std)

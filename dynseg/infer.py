@@ -1,0 +1,199 @@
+"""Full-tile multi-scale sliding-window inference — SURVEY.md C14 + C15.
+
+The reference's `validate_test` slides lambda x lambda windows over each
+mirror-padded tile for every scale in the schedule, averages softmax
+probabilities across overlaps AND across scales, then argmaxes
+([R] dynamic.py:≈test_or_validate_whole_images). Its overlap-add runs in
+host numpy — here the whole thing stays on device:
+
+  * Test tiles are packed to ONE common padded shape (TileSet) and
+    mirror-padded once by max(scales) — so each (scale, window-batch)
+    pair compiles exactly one XLA program regardless of tile count.
+  * A jitted step gathers a fixed-size batch of windows (static shapes),
+    runs the net, softmaxes, and ACCUMULATES prob/count maps in-place
+    via a fori_loop of dynamic_update_slice adds (donated buffers — no
+    reallocation per batch). This is the jnp overlap-add path; the Pallas
+    K3 kernel is a drop-in upgrade behind the same interface.
+  * Ragged final batches are handled with zero-weight padding windows —
+    never a dynamic shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynseg.config import Config
+from dynseg.data.tiles import IGNORE_LABEL, TileSet, mirror_pad
+from dynseg.metrics import scores_from_confusion
+from dynseg.models.dilated import build_model
+
+
+def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[int]:
+    """1-D window origins r (0 <= r <= lim) whose [r, r+size) union covers
+    [lo, hi). Origins start size//2 before `lo` (mirror context for edge
+    pixels, SURVEY.md C14) and a final snapped window guarantees coverage
+    of the right edge."""
+    assert hi > lo and lim >= 0 and size >= 1
+    first = max(0, lo - size // 2)
+    first = min(first, lim)
+    origins = list(range(first, min(hi, lim + 1), stride))
+    while origins[-1] + size < hi and origins[-1] < lim:
+        origins.append(min(lim, origins[-1] + stride))
+    if origins[-1] + size < hi:  # lim reached but still uncovered: impossible
+        raise ValueError("window cannot cover range")
+    # Drop windows fully past hi except one trailing for symmetry of voting.
+    out = [r for r in origins if r < hi]
+    return out or [min(lim, max(0, lo))]
+
+
+class Inferencer:
+    """Multi-scale overlap-add predictor over a packed, padded TileSet."""
+
+    def __init__(self, cfg: Config, tiles: TileSet):
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.scales = [int(s) for s in cfg.infer.scales]
+        self.pad = max(self.scales)
+        self.tiles = tiles
+        self.padded = mirror_pad(tiles, self.pad)
+        self.images = jax.device_put(self.padded.images)
+        self.mean = jax.device_put(tiles.mean)
+        self.std = jax.device_put(tiles.std)
+        self.nc = cfg.model.num_classes
+        self._accumulate = jax.jit(
+            self._accumulate_impl,
+            static_argnames=("size",),
+            donate_argnames=("prob", "cnt"),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _accumulate_impl(
+        self,
+        variables,
+        tile: jnp.ndarray,  # (Hp, Wp, C) padded tile (raw values)
+        prob: jnp.ndarray,  # (Hp, Wp, nc) running softmax sum (donated)
+        cnt: jnp.ndarray,  # (Hp, Wp, 1) running vote count (donated)
+        origins: jnp.ndarray,  # (B, 2) int32 window top-left corners
+        weights: jnp.ndarray,  # (B,) float32 (0 = padding window)
+        *,
+        size: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = tile.shape[-1]
+
+        def gather(o):
+            w = jax.lax.dynamic_slice(tile, (o[0], o[1], 0), (size, size, c))
+            return (w - self.mean) / self.std
+
+        windows = jax.vmap(gather)(origins)  # (B, s, s, C)
+        logits = self.model.apply(variables, windows, train=False)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = probs * weights[:, None, None, None]
+
+        def body(i, carry):
+            p, n = carry
+            o = origins[i]
+            cur = jax.lax.dynamic_slice(p, (o[0], o[1], 0), (size, size, self.nc))
+            p = jax.lax.dynamic_update_slice(p, cur + probs[i], (o[0], o[1], 0))
+            curn = jax.lax.dynamic_slice(n, (o[0], o[1], 0), (size, size, 1))
+            n = jax.lax.dynamic_update_slice(
+                n, curn + weights[i], (o[0], o[1], 0)
+            )
+            return p, n
+
+        prob, cnt = jax.lax.fori_loop(0, origins.shape[0], body, (prob, cnt))
+        return prob, cnt
+
+    # ------------------------------------------------------------------ #
+    def predict_tile(
+        self,
+        variables,
+        tile_idx: int,
+        scales: Optional[Sequence[int]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Softmax-vote prediction for one tile across all scales.
+        Returns (pred (h,w) int32, prob (h,w,nc) float32) in VALID coords."""
+        scales = [int(s) for s in (scales or self.scales)]
+        h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
+        Hp, Wp = self.padded.images.shape[1:3]
+        tile = self.images[tile_idx]
+        prob = jnp.zeros((Hp, Wp, self.nc), jnp.float32)
+        cnt = jnp.zeros((Hp, Wp, 1), jnp.float32)
+        B = self.cfg.infer.window_batch
+
+        for s in scales:
+            stride = max(1, int(round(s * self.cfg.infer.stride_fraction)))
+            rows = window_origins(self.pad, self.pad + h, s, stride, Hp - s)
+            cols = window_origins(self.pad, self.pad + w, s, stride, Wp - s)
+            origins = np.array(
+                [(r, c) for r in rows for c in cols], dtype=np.int32
+            )
+            n = len(origins)
+            n_pad = (-n) % B
+            if n_pad:
+                origins = np.concatenate(
+                    [origins, np.zeros((n_pad, 2), np.int32)], axis=0
+                )
+            weights = np.concatenate(
+                [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
+            )
+            for i in range(0, len(origins), B):
+                prob, cnt = self._accumulate(
+                    variables,
+                    tile,
+                    prob,
+                    cnt,
+                    jnp.asarray(origins[i : i + B]),
+                    jnp.asarray(weights[i : i + B]),
+                    size=s,
+                )
+
+        prob_np = np.asarray(prob[self.pad : self.pad + h, self.pad : self.pad + w])
+        cnt_np = np.asarray(cnt[self.pad : self.pad + h, self.pad : self.pad + w, 0])
+        prob_np = prob_np / np.maximum(cnt_np[..., None], 1e-9)
+        pred = np.argmax(prob_np, axis=-1).astype(np.int32)
+        return pred, prob_np
+
+
+def validate_test(
+    cfg: Config,
+    variables,
+    test_tiles: TileSet,
+    scales: Optional[Sequence[int]] = None,
+    log=print,
+) -> Dict[str, object]:
+    """Reference `validate_test` entry: predict every test tile with
+    multi-scale fusion, report OA / kappa / per-class F1 / confusion
+    ([R] dynamic.py:≈validate_test; SURVEY.md §3.2). Returns metrics plus
+    per-tile prediction maps for export (C18)."""
+    inf = Inferencer(cfg, test_tiles)
+    nc = cfg.model.num_classes
+    cm = np.zeros((nc, nc), np.int64)
+    preds: List[np.ndarray] = []
+    for t in range(test_tiles.num_tiles):
+        pred, _ = inf.predict_tile(variables, t, scales)
+        preds.append(pred)
+        h, w = (int(x) for x in test_tiles.valid_hw[t])
+        gt = test_tiles.masks[t, :h, :w]
+        valid = gt != IGNORE_LABEL
+        idx = gt[valid] * nc + pred[valid]
+        cm += np.bincount(idx.ravel(), minlength=nc * nc).reshape(nc, nc)
+        tile_scores = scores_from_confusion(
+            np.bincount(idx.ravel(), minlength=nc * nc).reshape(nc, nc)
+        )
+        log(
+            f"tile {t}: OA={tile_scores['oa']:.4f} kappa={tile_scores['kappa']:.4f} "
+            f"meanF1={tile_scores['mean_f1']:.4f}"
+        )
+    scores = scores_from_confusion(cm)
+    scores["predictions"] = preds
+    log(
+        f"TOTAL: OA={scores['oa']:.4f} kappa={scores['kappa']:.4f} "
+        f"meanF1={scores['mean_f1']:.4f} "
+        f"F1={np.array2string(scores['f1'], precision=4)}"
+    )
+    return scores

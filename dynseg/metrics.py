@@ -1,0 +1,86 @@
+"""Metrics — per-pixel overall accuracy, Cohen's kappa, per-class/average
+F1, confusion matrix (SURVEY.md C17).
+
+TPU-first split: the confusion matrix is accumulated ON DEVICE inside jit
+(a one-hot matmul that rides the MXU — no host transfer of per-pixel
+predictions); the cheap scalar reductions (OA/kappa/F1) run on host from
+the final counts. Pixels labeled IGNORE_LABEL are excluded everywhere
+([R] dynamic.py:≈calc_accuracy_by_crop-style helpers).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynseg.data.tiles import IGNORE_LABEL
+
+
+def confusion_matrix(
+    preds: jnp.ndarray, labels: jnp.ndarray, num_classes: int
+) -> jnp.ndarray:
+    """(num_classes, num_classes) int32 counts, rows = true, cols = pred.
+
+    jit-safe: masked one-hot matmul, static shapes; IGNORE_LABEL pixels
+    contribute zero rows.
+    """
+    preds = preds.reshape(-1)
+    labels = labels.reshape(-1)
+    valid = labels != IGNORE_LABEL
+    # Route ignored pixels to class 0 then zero them via the mask.
+    safe_labels = jnp.where(valid, labels, 0)
+    t = _one_hot(safe_labels, num_classes)
+    p = _one_hot(preds, num_classes)
+    t = t * valid[:, None].astype(t.dtype)
+    # (C, N) @ (N, C) -> (C, C); float32 accumulate on MXU, exact for
+    # counts < 2^24 per crop-batch (full-tile accumulation is chunked).
+    cm = jnp.dot(t.T, p, preferred_element_type=jnp.float32)
+    return cm.astype(jnp.int32)
+
+
+def _one_hot(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    return (x[:, None] == jnp.arange(n, dtype=x.dtype)[None, :]).astype(
+        jnp.float32
+    )
+
+
+def scores_from_confusion(cm: np.ndarray) -> Dict[str, object]:
+    """Host-side scalar metrics from an accumulated confusion matrix:
+    overall accuracy, Cohen's kappa, per-class F1, mean F1
+    (SURVEY.md C17; cross-checked vs sklearn in tests)."""
+    cm = np.asarray(cm, dtype=np.float64)
+    total = cm.sum()
+    if total == 0:
+        return {"oa": 0.0, "kappa": 0.0, "f1": np.zeros(cm.shape[0]), "mean_f1": 0.0}
+    diag = np.diag(cm)
+    oa = diag.sum() / total
+    # Cohen's kappa: (po - pe) / (1 - pe)
+    rows = cm.sum(axis=1)
+    cols = cm.sum(axis=0)
+    pe = (rows * cols).sum() / (total * total)
+    kappa = (oa - pe) / (1.0 - pe) if pe < 1.0 else 0.0
+    # Per-class F1 = 2TP / (2TP + FP + FN); classes absent from both GT and
+    # prediction get F1=0 and are excluded from the mean.
+    denom = rows + cols
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f1 = np.where(denom > 0, 2.0 * diag / np.maximum(denom, 1e-12), 0.0)
+    present = denom > 0
+    mean_f1 = float(f1[present].mean()) if present.any() else 0.0
+    return {
+        "oa": float(oa),
+        "kappa": float(kappa),
+        "f1": f1,
+        "mean_f1": mean_f1,
+        "confusion": cm.astype(np.int64),
+    }
+
+
+def batch_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel accuracy over valid pixels of a batch — the scheduler's
+    'acc' feedback signal (SURVEY.md C12). jit-safe scalar."""
+    preds = jnp.argmax(logits, axis=-1)
+    valid = labels != IGNORE_LABEL
+    correct = jnp.sum((preds == labels) & valid)
+    return correct / jnp.maximum(jnp.sum(valid), 1)

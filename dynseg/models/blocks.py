@@ -1,0 +1,89 @@
+"""Building blocks for the dilated segmentation networks.
+
+Every block is stride-1 / SAME so spatial resolution is preserved end-to-end
+— the invariant that lets one parameter set serve any patch size and makes
+dynamic multi-context training and multi-scale test fusion possible
+(SURVEY.md §3.3). Rebuilt TPU-first: convolutions lower to
+`lax.conv_general_dilated` in NHWC, which XLA tiles onto the MXU and fuses
+with bias/BN/activation; the optional Pallas path (dynseg.ops.conv_block)
+covers what XLA does not fuse.
+
+Reference anchors (reconstructed, mount was empty — see SURVEY.md §0):
+[R] dynamic.py:≈_conv_layer/_max_pool helpers (conv → batch_norm →
+leaky_relu → stride-1 max-pool).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DilatedConvBlock(nn.Module):
+    """conv(dilated, SAME, stride1) → [BN] → leaky-ReLU → [3x3 stride-1 max-pool].
+
+    Mirrors the reference `_conv_layer` + `_max_pool` pair (SURVEY.md C6).
+    """
+
+    features: int
+    kernel: int
+    dilation: int = 1
+    leaky_slope: float = 0.1
+    use_batch_norm: bool = True
+    pool: bool = True
+    pool_window: int = 3
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.compute_dtype)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(1, 1),
+            padding="SAME",
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=not self.use_batch_norm,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )(x.astype(jnp.float32)).astype(self.compute_dtype)
+        x = nn.leaky_relu(x, negative_slope=self.leaky_slope)
+        if self.pool:
+            # Stride-1 SAME max pool: local max filtering without
+            # downsampling ([R] dynamic.py:≈_max_pool).
+            x = nn.max_pool(
+                x,
+                window_shape=(self.pool_window, self.pool_window),
+                strides=(1, 1),
+                padding="SAME",
+            )
+        return x
+
+
+class ScoreHead(nn.Module):
+    """1x1 conv producing per-pixel class logits (SURVEY.md §3.3 head)."""
+
+    num_classes: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            features=self.num_classes,
+            kernel_size=(1, 1),
+            padding="SAME",
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        # Logits always in float32 for a stable softmax-CE.
+        return x.astype(jnp.float32)

@@ -1,0 +1,144 @@
+"""Dynamic patch-size (spatial context) scheduler — SURVEY.md C12, §3.4.
+
+THE core novelty of the reference: each training step the patch size
+lambda is drawn from a distribution over the scheduled values
+{25,...,65}; the distribution is updated from per-scale training feedback
+(batch accuracy or loss). Re-expressed TPU-first: the scheduler is pure
+host logic choosing WHICH pre-compiled static-shape step to run — the
+device never sees a dynamic shape (SURVEY.md C12 TPU equivalent).
+
+Distribution types ([R] dynamic.py:≈select_scale; flag distribution_type):
+  * single_fixed  — always values[0]
+  * multi_fixed   — deterministic cycle over values
+  * uniform       — uniform random over values
+  * multinomial   — sample proportional to normalized per-scale scores
+
+Score update ([R] dynamic.py:≈update scores in train loop): exponential
+moving average of the chosen scale's batch accuracy or loss
+(flag update_type). The exact reference rule is MED confidence
+(SURVEY.md §3.4) so the sign convention is an explicit, bracketable knob:
+`favor_high_score=True` samples well-performing contexts more often (the
+paper's reading); False inverts to spend steps on struggling contexts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from dynseg.config import SchedulerConfig
+
+
+class ScaleScheduler:
+    """Host-side score-driven selection among bucketed patch sizes."""
+
+    def __init__(self, cfg: SchedulerConfig, seed: int = 0):
+        self.cfg = cfg
+        self.values: List[int] = [int(v) for v in cfg.values]
+        assert len(self.values) >= 1
+        self.rng = np.random.default_rng(seed)
+        # EMA score per scale; None until that scale has been visited.
+        self._scores: Dict[int, Optional[float]] = {v: None for v in self.values}
+        self._counts: Dict[int, int] = {v: 0 for v in self.values}
+        self._cycle = 0
+
+    # ------------------------------------------------------------------ #
+    # selection
+    # ------------------------------------------------------------------ #
+    def select(self) -> int:
+        """Draw the patch size for the next step."""
+        d = self.cfg.distribution_type
+        if d == "single_fixed" or len(self.values) == 1:
+            return self.values[0]
+        if d == "multi_fixed":
+            v = self.values[self._cycle % len(self.values)]
+            self._cycle += 1
+            return v
+        if d == "uniform":
+            return int(self.rng.choice(self.values))
+        if d == "multinomial":
+            return int(self.rng.choice(self.values, p=self.probabilities()))
+        raise ValueError(f"unknown distribution_type: {d!r}")
+
+    def probabilities(self) -> np.ndarray:
+        """Current multinomial over scales (normalized fitness scores).
+
+        Scales never visited get the mean fitness of visited ones (optimistic
+        init) so every bucket is explored before the distribution sharpens.
+        """
+        fit = np.array(
+            [self._fitness(v) for v in self.values], dtype=np.float64
+        )
+        if np.all(np.isnan(fit)):
+            return np.full(len(self.values), 1.0 / len(self.values))
+        mean_fit = np.nanmean(fit)
+        fit = np.where(np.isnan(fit), mean_fit, fit)
+        # Normalize raw positive fitness (reference normalizes raw scores,
+        # [R] dynamic.py:≈multinomial branch). All fitness definitions in
+        # _fitness are non-negative; do NOT min-subtract — that collapses
+        # the distribution and starves scales (a once-visited scale would
+        # get p≈0 and never recover).
+        fit = np.maximum(fit, 1e-6)
+        t = max(self.cfg.temperature, 1e-6)
+        if t != 1.0:
+            fit = fit ** (1.0 / t)
+        return fit / fit.sum()
+
+    def _fitness(self, v: int) -> float:
+        s = self._scores[v]
+        if s is None:
+            return float("nan")
+        if self.cfg.update_type == "acc":
+            # accuracy in [0,1]; higher is better
+            return s if self.cfg.favor_high_score else (1.0 - s)
+        # loss >= 0; lower is better
+        return 1.0 / (1.0 + s) if self.cfg.favor_high_score else s
+
+    # ------------------------------------------------------------------ #
+    # feedback
+    # ------------------------------------------------------------------ #
+    def update(self, scale: int, loss: float, acc: float) -> None:
+        """EMA-update the chosen scale's score from this batch's feedback
+        ([R] dynamic.py:≈scores[lambda] update; SURVEY.md §3.4)."""
+        metric = acc if self.cfg.update_type == "acc" else loss
+        prev = self._scores[scale]
+        ema = self.cfg.ema
+        self._scores[scale] = (
+            float(metric) if prev is None else ema * prev + (1.0 - ema) * float(metric)
+        )
+        self._counts[scale] += 1
+
+    # ------------------------------------------------------------------ #
+    # introspection / checkpointing
+    # ------------------------------------------------------------------ #
+    def state_dict(self) -> dict:
+        return {
+            "scores": {str(k): v for k, v in self._scores.items()},
+            "counts": {str(k): v for k, v in self._counts.items()},
+            "cycle": self._cycle,
+            "rng_state": self.rng.bit_generator.state,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self._scores = {int(k): v for k, v in state["scores"].items()}
+        self._counts = {int(k): int(v) for k, v in state["counts"].items()}
+        self._cycle = int(state["cycle"])
+        self.rng.bit_generator.state = state["rng_state"]
+
+    def summary(self) -> str:
+        """One-line distribution state for the training printout
+        (SURVEY.md C19: per-scale distribution logging)."""
+        p = self.probabilities()
+        parts = []
+        for v, pi in zip(self.values, p):
+            s = self._scores[v]
+            parts.append(f"{v}:p={pi:.2f},s={'-' if s is None else f'{s:.3f}'}")
+        return " ".join(parts)
+
+    def best_scales(self, k: int = 3) -> List[int]:
+        """Scales ranked by fitness — the paper uses the final distribution
+        to pick inference scales (SURVEY.md C12)."""
+        p = self.probabilities()
+        order = np.argsort(-p)
+        return [self.values[i] for i in order[:k]]

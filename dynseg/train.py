@@ -1,0 +1,333 @@
+"""Training engine — SURVEY.md C11 (loss/optimizer) + C13 (train loop).
+
+TPU-first design, not a translation of the reference's tf.Session loop:
+
+  * ONE jitted `train_step` traced per patch-size bucket (static shapes —
+    the TF trick of H=W=None placeholders becomes per-lambda pre-compiled
+    XLA programs; zero mid-training recompiles, SURVEY.md C12).
+  * The on-device K2 gather (dynseg.ops.gather) is fused INTO the step:
+    positions/augment-ids (a few KB) are the only host->device transfer
+    per iteration; patches never exist on the host.
+  * Data parallelism: a 1-D `jax.sharding.Mesh` over axis "data"; the
+    batch dimension of positions/aug_ids is sharded, tiles and params are
+    replicated, and XLA inserts the gradient all-reduce over ICI
+    (SURVEY.md §2 parallelism table — no NCCL/MPI analog needed).
+  * Loss: per-pixel softmax cross-entropy averaged over valid pixels +
+    L2 weight decay on conv kernels, momentum SGD — matching the
+    reference's loss-coupled decay ([R] dynamic.py:≈graph build, C11):
+    optax.add_decayed_weights BEFORE sgd(momentum) reproduces
+    d(loss + wd/2*||w||^2)/dw fed to the momentum accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from dynseg.config import Config
+from dynseg.data.sampler import BalancedPatchSampler
+from dynseg.data.tiles import IGNORE_LABEL, TileSet, mirror_pad
+from dynseg.metrics import batch_accuracy, confusion_matrix
+from dynseg.models.dilated import build_model
+from dynseg.ops.gather import gather_batch
+from dynseg.sched.scheduler import ScaleScheduler
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Momentum SGD + L2 on conv kernels (SURVEY.md C11; lr/momentum/wd
+    from the reference CLI flags)."""
+    t = cfg.train
+    if t.lr_decay_rate < 1.0:
+        lr = optax.exponential_decay(
+            t.learning_rate, t.lr_decay_steps, t.lr_decay_rate, staircase=True
+        )
+    else:
+        lr = t.learning_rate
+
+    def decay_mask(params):
+        # L2 only on conv kernels — biases and BN scale/offset excluded,
+        # mirroring _variable_with_weight_decay ([R] dynamic.py:≈helpers).
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(p, "key", None) == "kernel" for p in path
+            ),
+            params,
+        )
+
+    return optax.chain(
+        optax.add_decayed_weights(t.weight_decay, mask=decay_mask),
+        optax.sgd(lr, momentum=t.momentum),
+    )
+
+
+def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-pixel softmax CE over valid (non-IGNORE) pixels
+    ([R] dynamic.py:≈sparse_softmax_cross_entropy_with_logits; C11)."""
+    valid = labels != IGNORE_LABEL
+    safe = jnp.where(valid, labels, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+    ce = jnp.where(valid, ce, 0.0)
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)
+
+
+class Trainer:
+    """Owns model, optimizer, per-bucket compiled steps, and the DP mesh."""
+
+    def __init__(self, cfg: Config, train_tiles: TileSet, mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.tx = make_optimizer(cfg)
+        self.scales = [int(v) for v in cfg.sched.values]
+        self.pad = max(self.scales) // 2 + 1
+
+        # Mirror-pad once so any scheduled patch size centered on a valid
+        # pixel stays in-bounds (SURVEY.md C14 + sampler contract).
+        padded = mirror_pad(train_tiles, self.pad)
+        self.sampler = BalancedPatchSampler(
+            padded,
+            cfg.model.num_classes,
+            pad=self.pad,
+            seed=cfg.train.seed,
+            balanced=cfg.data.balanced_sampling,
+        )
+
+        if mesh is None:
+            n = cfg.train.num_devices
+            devs = np.array(jax.devices()[:n])
+            assert len(devs) == n, f"need {n} devices, have {len(jax.devices())}"
+            mesh = jax.sharding.Mesh(devs, ("data",))
+        self.mesh = mesh
+        P = jax.sharding.PartitionSpec
+        self.repl = jax.sharding.NamedSharding(mesh, P())
+        self.batch_sharded = jax.sharding.NamedSharding(mesh, P("data"))
+
+        # Device-resident tiles (replicated: every chip gathers its own
+        # batch shard locally — no patch traffic over ICI).
+        self.images = jax.device_put(padded.images, self.repl)
+        self.masks = jax.device_put(padded.masks, self.repl)
+        self.mean = jax.device_put(padded.mean, self.repl)
+        self.std = jax.device_put(padded.std, self.repl)
+
+        self._train_step = jax.jit(
+            self._step_impl,
+            static_argnames=("size",),
+            donate_argnames=("state",),
+        )
+        self._eval_step = jax.jit(self._eval_impl, static_argnames=("size",))
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, rng: jax.Array) -> TrainState:
+        s0 = self.scales[0]
+        x = jnp.zeros((1, s0, s0, self.cfg.model.num_input_bands), jnp.float32)
+        variables = self.model.init(rng, x, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return jax.device_put(state, self.repl)
+
+    # ------------------------------------------------------------------ #
+    def _step_impl(
+        self,
+        state: TrainState,
+        positions: jnp.ndarray,
+        aug_ids: jnp.ndarray,
+        dropout_rng: jax.Array,
+        *,
+        size: int,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        imgs, labs = gather_batch(
+            self.images, self.masks, self.mean, self.std, positions, aug_ids, size
+        )
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, mutated = self.model.apply(
+                variables,
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = masked_cross_entropy(logits, labs)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "acc": batch_accuracy(logits, labs),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    def _eval_impl(
+        self,
+        state: TrainState,
+        images: jnp.ndarray,
+        masks: jnp.ndarray,
+        mean: jnp.ndarray,
+        std: jnp.ndarray,
+        positions: jnp.ndarray,
+        aug_ids: jnp.ndarray,
+        *,
+        size: int,
+    ) -> Dict[str, jnp.ndarray]:
+        imgs, labs = gather_batch(
+            images, masks, mean, std, positions, aug_ids, size
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = self.model.apply(variables, imgs, train=False)
+        preds = jnp.argmax(logits, axis=-1)
+        return {
+            "loss": masked_cross_entropy(logits, labs),
+            "acc": batch_accuracy(logits, labs),
+            "confusion": confusion_matrix(preds, labs, self.cfg.model.num_classes),
+        }
+
+    # ------------------------------------------------------------------ #
+    def batch_size_for(self, size: int) -> int:
+        """Per-step batch for a bucket; optionally keeps PIXEL count
+        constant across scales (SURVEY.md §7 hard part 2), rounded to a
+        multiple of the mesh size so the shard is even."""
+        b = self.cfg.train.batch_size
+        if self.cfg.train.rescale_batch_by_area:
+            b = max(8, round(b * (self.scales[0] / size) ** 2))
+        n = self.mesh.devices.size
+        return max(n, (b // n) * n)
+
+    def make_batch_inputs(self, size: int, augment: Optional[bool] = None):
+        """Host-side sampling -> device-sharded index arrays (tiny)."""
+        b = self.batch_size_for(size)
+        aug = self.cfg.data.augment if augment is None else augment
+        pos = self.sampler.sample(b)
+        aug_ids = self.sampler.sample_augment_ids(b, aug)
+        pos = jax.device_put(pos, self.batch_sharded)
+        aug_ids = jax.device_put(aug_ids, self.batch_sharded)
+        return pos, aug_ids
+
+    def train_step(self, state: TrainState, size: int, dropout_rng: jax.Array):
+        pos, aug_ids = self.make_batch_inputs(size)
+        return self._train_step(state, pos, aug_ids, dropout_rng, size=size)
+
+    def eval_crops(
+        self,
+        state: TrainState,
+        tiles_dev: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        positions: np.ndarray,
+        size: int,
+    ) -> Dict[str, jnp.ndarray]:
+        """Crop-based validation on an arbitrary device-resident tile set
+        (the reference's periodic validation, SURVEY.md C13/C17)."""
+        images, masks, mean, std = tiles_dev
+        aug = jnp.zeros((positions.shape[0],), jnp.int32)
+        return self._eval_step(
+            state, images, masks, mean, std, jnp.asarray(positions), aug, size=size
+        )
+
+    def put_tiles(self, tiles: TileSet, pad: Optional[int] = None):
+        """Mirror-pad + device-put a tile set for eval_crops."""
+        padded = mirror_pad(tiles, self.pad if pad is None else pad)
+        return (
+            jax.device_put(padded.images, self.repl),
+            jax.device_put(padded.masks, self.repl),
+            jax.device_put(padded.mean, self.repl),
+            jax.device_put(padded.std, self.repl),
+        ), padded
+
+    def compile_buckets(self, state: TrainState) -> Dict[int, float]:
+        """Pre-compile every per-scale step BEFORE the timed loop so XLA
+        never compiles mid-training (SURVEY.md C12 TPU equivalent).
+        Returns compile seconds per scale. AOT-lowered so compilation does
+        not advance optimizer state or RNG."""
+        times: Dict[int, float] = {}
+        rng = jax.random.key(0)
+        for s in self.scales:
+            t0 = time.perf_counter()
+            b = self.batch_size_for(s)
+            pos = jax.device_put(
+                np.zeros((b, 3), np.int32) + self.pad, self.batch_sharded
+            )
+            aug = jax.device_put(np.zeros((b,), np.int32), self.batch_sharded)
+            self._train_step.lower(state, pos, aug, rng, size=s).compile()
+            times[s] = time.perf_counter() - t0
+        return times
+
+
+def train_loop(
+    cfg: Config,
+    trainer: Trainer,
+    state: TrainState,
+    scheduler: ScaleScheduler,
+    niter: Optional[int] = None,
+    log_every: int = 50,
+    on_eval=None,
+    log=print,
+    start_iter: int = 0,
+    checkpointer=None,
+) -> TrainState:
+    """The reference's hot loop ([R] dynamic.py:≈train; SURVEY.md §3.1):
+    select scale -> gather+step on device -> update scheduler scores ->
+    periodic validation/checkpoint. Metric fetches are pipelined one step
+    behind so the host never blocks the device."""
+    niter = cfg.train.niter if niter is None else niter
+    rng = jax.random.key(cfg.train.seed + 1)
+    pending: Optional[Tuple[int, Dict[str, jnp.ndarray]]] = None
+    t0 = time.perf_counter()
+    patches = 0
+    for it in range(start_iter, niter):
+        scale = scheduler.select()
+        rng, dr = jax.random.split(rng)
+        state, metrics = trainer.train_step(state, scale, dr)
+        patches += trainer.batch_size_for(scale)
+
+        if pending is not None:
+            ps, pm = pending
+            scheduler.update(ps, float(pm["loss"]), float(pm["acc"]))
+        pending = (scale, metrics)
+
+        if (it + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            log(
+                f"iter {it + 1}/{niter} scale={scale} loss={m['loss']:.4f} "
+                f"acc={m['acc']:.4f} patches/s={patches / max(dt, 1e-9):.1f} "
+                f"| {scheduler.summary()}"
+            )
+            t0 = time.perf_counter()
+            patches = 0
+        if on_eval is not None and (it + 1) % cfg.train.eval_every == 0:
+            on_eval(it + 1, state)
+        if checkpointer is not None and (it + 1) % cfg.train.checkpoint_every == 0:
+            checkpointer(it + 1, state, scheduler)
+    if pending is not None:
+        ps, pm = pending
+        scheduler.update(ps, float(pm["loss"]), float(pm["acc"]))
+    return state

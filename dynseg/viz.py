@@ -1,0 +1,34 @@
+"""Prediction-map export — SURVEY.md C18.
+
+Writes colorized per-tile prediction PNGs using the per-dataset class
+palette (ISPRS submission format / visual inspection), like the
+reference's create_prediction_map ([R] dynamic.py:≈prediction export)."""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from dynseg.data.datasets import PALETTES
+
+
+def save_prediction_maps(
+    preds: Sequence[np.ndarray],
+    dataset: str,
+    output_path: str,
+    prefix: str = "prediction",
+) -> list:
+    from PIL import Image
+
+    palette = PALETTES[dataset]
+    os.makedirs(output_path, exist_ok=True)
+    paths = []
+    for i, pred in enumerate(preds):
+        safe = np.clip(pred, 0, len(palette) - 1)
+        rgb = palette[safe]
+        p = os.path.join(output_path, f"{prefix}_{i}.png")
+        Image.fromarray(rgb).save(p)
+        paths.append(p)
+    return paths

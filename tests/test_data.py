@@ -1,0 +1,111 @@
+"""Data-layer tests: packing, stats, mirror-pad, balanced sampling, and
+the on-device K2 gather's bit-parity vs a host numpy extraction
+(SURVEY.md §4 golden-value strategy)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dynseg.data.datasets import load_synthetic
+from dynseg.data.sampler import BalancedPatchSampler
+from dynseg.data.tiles import IGNORE_LABEL, compute_stats, mirror_pad, pack_tiles
+from dynseg.ops.gather import gather_batch
+
+
+def test_pack_tiles_pads_with_ignore():
+    ims = [np.ones((4, 6, 3), np.float32), np.ones((8, 3, 3), np.float32)]
+    mks = [np.zeros((4, 6), np.int32), np.ones((8, 3), np.int32)]
+    ts = pack_tiles(ims, mks)
+    assert ts.images.shape == (2, 8, 6, 3)
+    assert ts.masks[0, 5, 0] == IGNORE_LABEL
+    assert ts.masks[1, 0, 4] == IGNORE_LABEL
+    assert (ts.valid_hw == [[4, 6], [8, 3]]).all()
+
+
+def test_stats_exclude_padding():
+    ims = [np.full((4, 4, 1), 10.0, np.float32)]
+    mks = [np.zeros((4, 4), np.int32)]
+    mks[0][0, 0] = IGNORE_LABEL
+    ts = pack_tiles(ims, mks)
+    mean, std = compute_stats(ts)
+    assert mean[0] == 10.0 and std[0] == 1.0  # zero-var guarded to 1
+
+
+def test_mirror_pad_reflects():
+    ims = [np.arange(16, dtype=np.float32).reshape(4, 4, 1)]
+    mks = [np.zeros((4, 4), np.int32)]
+    ts = mirror_pad(pack_tiles(ims, mks), 2)
+    ref = np.pad(ims[0], ((2, 2), (2, 2), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(ts.images[0], ref)
+    assert (ts.masks[0, :2, :] == IGNORE_LABEL).all()
+
+
+def test_balanced_sampler_class_counts(synthetic_data):
+    train, _ = synthetic_data
+    pad = 33
+    padded = mirror_pad(train, pad)
+    s = BalancedPatchSampler(padded, num_classes=2, pad=pad, seed=0)
+    pos = s.sample(100)
+    assert pos.shape == (100, 3)
+    labels = padded.masks[pos[:, 0], pos[:, 1], pos[:, 2]]
+    counts = np.bincount(labels, minlength=2)
+    assert abs(counts[0] - counts[1]) <= 2, counts  # balanced round-robin
+    # positions always index valid (non-ignored) pixels
+    assert (labels != IGNORE_LABEL).all()
+
+
+def test_sampler_epoch_cycling():
+    ims = [np.zeros((6, 6, 1), np.float32)]
+    mks = [np.zeros((6, 6), np.int32)]
+    ts = pack_tiles(ims, mks)
+    s = BalancedPatchSampler(ts, num_classes=2, pad=0, seed=0)
+    pos = s.sample(72)  # exactly two epochs of 36 pixels
+    flat = pos[:, 1] * 6 + pos[:, 2]
+    # each pixel visited exactly twice (shuffled epochs, no repeats within)
+    assert (np.bincount(flat, minlength=36) == 2).all()
+
+
+@pytest.mark.parametrize("size", [5, 8])
+def test_gather_parity_vs_numpy(size, rng):
+    """K2 on-device gather == host extraction + dihedral + normalize."""
+    T, H, W, C = 2, 32, 32, 3
+    images = rng.normal(size=(T, H, W, C)).astype(np.float32)
+    masks = rng.integers(0, 3, size=(T, H, W)).astype(np.int32)
+    mean = images.mean(axis=(0, 1, 2))
+    std = images.std(axis=(0, 1, 2))
+    B = 16
+    half = size // 2
+    pos = np.stack(
+        [
+            rng.integers(0, T, B),
+            rng.integers(half, H - size + half, B),
+            rng.integers(half, W - size + half, B),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    aug = rng.integers(0, 8, B).astype(np.int32)
+
+    imgs, labs = gather_batch(images, masks, mean, std, pos, aug, size)
+    imgs, labs = np.asarray(imgs), np.asarray(labs)
+
+    for b in range(B):
+        t, r, c = pos[b]
+        r0, c0 = r - half, c - half
+        im = images[t, r0 : r0 + size, c0 : c0 + size].copy()
+        lb = masks[t, r0 : r0 + size, c0 : c0 + size].copy()
+        k = aug[b]
+        if k >= 4:
+            im, lb = np.flip(im, axis=1), np.flip(lb, axis=1)
+            k -= 4
+        im, lb = np.rot90(im, k, (0, 1)), np.rot90(lb, k, (0, 1))
+        im = (im - mean) / std
+        np.testing.assert_allclose(imgs[b], im, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(labs[b], lb)
+
+
+def test_synthetic_dataset_structure():
+    train, test = load_synthetic(seed=1, num_tiles=2, size=96)
+    assert train.images.shape == (2, 96, 96, 3)
+    assert train.mean is not None and test.mean is not None
+    np.testing.assert_array_equal(train.mean, test.mean)
+    assert set(np.unique(train.masks)) <= {0, 1}

@@ -1,0 +1,101 @@
+"""End-to-end smoke (SURVEY.md §4): train on a synthetic 2-class raster
+through the real CLI path and demand high F1; checkpoint/resume
+round-trips through orbax."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dynseg.cli import build_argparser, config_from_args, run_training, run_testing
+from dynseg.config import ModelConfig
+
+
+def _shrink(cfg, niter):
+    # narrow model + short schedule for CPU CI; same code path as TPU
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, width_multiplier=0.125, num_input_bands=3
+        ),
+        train=dataclasses.replace(
+            cfg.train, niter=niter, batch_size=16,
+            learning_rate=0.05, eval_every=10_000, checkpoint_every=10_000,
+        ),
+    )
+
+
+def test_end_to_end_training_reaches_high_f1(tmp_path):
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "multinomial",
+        "--values", "9,15",
+        "--update_type", "acc",
+        "--window_batch", "32",
+        "--niter", "60",
+    ])
+    cfg = _shrink(config_from_args(args), niter=60)
+    scores = run_training(cfg, log=lambda *_: None)
+    assert scores["mean_f1"] > 0.9, scores["mean_f1"]
+    assert os.path.exists(os.path.join(tmp_path, "scores.json"))
+    assert os.path.exists(os.path.join(tmp_path, "prediction_0.png"))
+
+
+def test_checkpoint_restore_and_test_path(tmp_path):
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "12",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=12)
+    s1 = run_training(cfg, log=lambda *_: None)
+    # validate_test from the saved checkpoint must reproduce the same maps
+    s2 = run_testing(cfg, log=lambda *_: None)
+    assert abs(s1["oa"] - s2["oa"]) < 1e-6
+    np.testing.assert_array_equal(s1["confusion"], s2["confusion"])
+
+
+def test_resume_continues_iteration(tmp_path):
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import Trainer
+    from dynseg.data.datasets import load_synthetic
+    from dynseg.config import Config, SchedulerConfig, TrainConfig, DataConfig
+
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_grsl", num_classes=2,
+                          width_multiplier=0.125),
+        sched=SchedulerConfig(distribution_type="multinomial", values=(9,)),
+        train=TrainConfig(batch_size=8, niter=5, seed=0,
+                          output_path=str(tmp_path)),
+        data=DataConfig(dataset="synthetic"),
+    )
+    train_tiles, _ = load_synthetic(seed=0, num_tiles=2, size=96)
+    trainer = Trainer(cfg, train_tiles)
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    state = trainer.init_state(jax.random.key(0))
+    rng = jax.random.key(1)
+    for _ in range(3):
+        rng, dr = jax.random.split(rng)
+        state, _ = trainer.train_step(state, 9, dr)
+    sched.update(9, 1.2, 0.5)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(3, state, sched)
+
+    sched2 = ScaleScheduler(cfg.sched, seed=42)
+    state2, step = ckpt.restore(trainer, sched2)
+    assert step == 3 and int(state2.step) == 3
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert sched2.state_dict()["scores"] == sched.state_dict()["scores"]

@@ -1,0 +1,111 @@
+"""Inference tests: window coverage, overlap-add voting parity with a
+direct whole-tile forward (possible because the nets are shape-preserving),
+and multi-scale fusion (SURVEY.md C14/C15)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynseg.config import Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.data.datasets import load_synthetic
+from dynseg.data.tiles import pack_tiles, compute_stats
+from dynseg.infer import Inferencer, validate_test, window_origins
+from dynseg.models.dilated import build_model
+
+
+def cfg_for(scales, window_batch=8, stride_fraction=0.5):
+    return Config(
+        model=ModelConfig(
+            net_type="dilated_grsl", num_classes=3, num_input_bands=3,
+            width_multiplier=0.125, use_batch_norm=False,
+        ),
+        infer=InferConfig(
+            scales=tuple(scales), window_batch=window_batch,
+            stride_fraction=stride_fraction,
+        ),
+    )
+
+
+@pytest.mark.parametrize(
+    "lo,hi,size,stride",
+    [(10, 74, 16, 8), (10, 75, 15, 7), (0, 5, 5, 5), (10, 74, 16, 16), (3, 100, 33, 16)],
+)
+def test_window_origins_cover_range(lo, hi, size, stride):
+    lim = hi + size  # generous upper bound
+    origins = window_origins(lo, hi, size, stride, lim)
+    covered = np.zeros(hi + size, bool)
+    for r in origins:
+        assert 0 <= r <= lim
+        covered[r : r + size] = True
+    assert covered[lo:hi].all()
+
+
+def _tileset(rng, h=40, w=52, nc=3):
+    img = rng.normal(size=(h, w, 3)).astype(np.float32) * 20 + 100
+    mask = rng.integers(0, nc, size=(h, w)).astype(np.int32)
+    ts = pack_tiles([img], [mask])
+    compute_stats(ts)
+    return ts
+
+
+def test_overlap_add_matches_host_reference(rng):
+    """Golden test of the on-device overlap-add (K3 path): averaged
+    softmax voting must bit-match a host numpy implementation of the same
+    slide -> forward -> accumulate -> normalize pipeline (SURVEY.md §4)."""
+    cfg = cfg_for(scales=(16,), stride_fraction=0.25)
+    ts = _tileset(rng)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+
+    inf = Inferencer(cfg, ts)
+    pred, prob = inf.predict_tile(variables, 0)
+    h, w = (int(x) for x in ts.valid_hw[0])
+    assert pred.shape == (h, w) and prob.shape == (h, w, 3)
+    np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
+
+    # host reference: same windows, per-window forward, numpy accumulate
+    s, stride = 16, 4
+    pad = inf.pad
+    padded = np.asarray(inf.padded.images[0])
+    Hp, Wp = padded.shape[:2]
+    rows = window_origins(pad, pad + h, s, stride, Hp - s)
+    cols = window_origins(pad, pad + w, s, stride, Wp - s)
+    acc = np.zeros((Hp, Wp, 3), np.float64)
+    cnt = np.zeros((Hp, Wp, 1), np.float64)
+    for r in rows:
+        for c in cols:
+            win = (padded[r : r + s, c : c + s] - ts.mean) / ts.std
+            logits = model.apply(variables, jnp.asarray(win)[None], train=False)
+            p = np.asarray(jax.nn.softmax(logits[0], axis=-1))
+            acc[r : r + s, c : c + s] += p
+            cnt[r : r + s, c : c + s] += 1.0
+    ref = acc[pad : pad + h, pad : pad + w] / cnt[pad : pad + h, pad : pad + w]
+    np.testing.assert_allclose(prob, ref, atol=1e-4)
+    np.testing.assert_array_equal(pred, np.argmax(ref, axis=-1))
+
+
+def test_multiscale_fusion_runs(rng):
+    cfg = cfg_for(scales=(12, 16), window_batch=16)
+    ts = _tileset(rng, h=30, w=30)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    inf = Inferencer(cfg, ts)
+    pred, prob = inf.predict_tile(variables, 0)
+    assert pred.shape == (30, 30)
+    np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
+
+
+def test_validate_test_reports_metrics(rng):
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    ts = _tileset(rng, h=24, w=24)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    lines = []
+    scores = validate_test(cfg, variables, ts, log=lines.append)
+    assert 0.0 <= scores["oa"] <= 1.0
+    assert "predictions" in scores and scores["predictions"][0].shape == (24, 24)
+    assert any("TOTAL" in l for l in lines)
+    assert int(scores["confusion"].sum()) == 24 * 24

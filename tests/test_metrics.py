@@ -1,0 +1,54 @@
+"""Metric golden tests vs sklearn (SURVEY.md §4): confusion matrix,
+OA, Cohen's kappa, per-class F1, and IGNORE handling."""
+
+import jax.numpy as jnp
+import numpy as np
+from sklearn.metrics import (
+    cohen_kappa_score,
+    confusion_matrix as sk_confusion,
+    f1_score,
+)
+
+from dynseg.data.tiles import IGNORE_LABEL
+from dynseg.metrics import batch_accuracy, confusion_matrix, scores_from_confusion
+
+
+def test_confusion_and_scores_vs_sklearn(rng):
+    n, nc = 5000, 4
+    y_true = rng.integers(0, nc, n).astype(np.int32)
+    y_pred = np.where(
+        rng.random(n) < 0.7, y_true, rng.integers(0, nc, n)
+    ).astype(np.int32)
+
+    cm = np.asarray(confusion_matrix(jnp.asarray(y_pred), jnp.asarray(y_true), nc))
+    np.testing.assert_array_equal(cm, sk_confusion(y_true, y_pred, labels=range(nc)))
+
+    s = scores_from_confusion(cm)
+    assert abs(s["oa"] - (y_true == y_pred).mean()) < 1e-9
+    assert abs(s["kappa"] - cohen_kappa_score(y_true, y_pred)) < 1e-9
+    np.testing.assert_allclose(
+        s["f1"], f1_score(y_true, y_pred, average=None, labels=range(nc)), atol=1e-12
+    )
+    assert abs(s["mean_f1"] - f1_score(y_true, y_pred, average="macro")) < 1e-9
+
+
+def test_ignore_label_excluded(rng):
+    nc = 3
+    y_true = np.array([0, 1, 2, IGNORE_LABEL, IGNORE_LABEL], np.int32)
+    y_pred = np.array([0, 1, 0, 2, 1], np.int32)
+    cm = np.asarray(confusion_matrix(jnp.asarray(y_pred), jnp.asarray(y_true), nc))
+    assert cm.sum() == 3
+    assert cm[0, 0] == 1 and cm[1, 1] == 1 and cm[2, 0] == 1
+
+
+def test_batch_accuracy_masks_ignore():
+    logits = jnp.array([[[[5.0, 0.0], [0.0, 5.0]]]])  # (1,1,2,2): preds 0,1
+    labels = jnp.array([[[0, IGNORE_LABEL]]])
+    assert float(batch_accuracy(logits, labels)) == 1.0
+    labels2 = jnp.array([[[1, 1]]])
+    assert float(batch_accuracy(logits, labels2)) == 0.5
+
+
+def test_empty_confusion():
+    s = scores_from_confusion(np.zeros((3, 3)))
+    assert s["oa"] == 0.0 and s["kappa"] == 0.0

@@ -1,0 +1,59 @@
+"""Model unit tests (SURVEY.md §4): every variant preserves spatial shape
+at EVERY patch size with ONE parameter set — the invariant behind dynamic
+multi-context training (§3.3)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynseg.config import NET_TYPES, ModelConfig
+from dynseg.models.dilated import build_model
+
+
+@pytest.mark.parametrize("net_type", NET_TYPES)
+def test_shape_preserved_across_patch_sizes(net_type):
+    cfg = ModelConfig(net_type=net_type, num_classes=5, num_input_bands=4)
+    model = build_model(cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 25, 25, 4)))
+    for s in (25, 33, 65):
+        y = model.apply(variables, jnp.zeros((2, s, s, 4)), train=False)
+        assert y.shape == (2, s, s, 5), (net_type, s)
+        assert y.dtype == jnp.float32
+
+
+def test_bn_state_updates_in_train_mode():
+    cfg = ModelConfig(num_classes=2, num_input_bands=3)
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 25, 25, 3))
+    variables = model.init(jax.random.key(0), x)
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(
+        not jnp.allclose(a, b) for a, b in zip(before, after)
+    ), "train=True must update running BN stats"
+
+
+def test_bfloat16_compute_path():
+    cfg = ModelConfig(num_classes=2, num_input_bands=3, compute_dtype="bfloat16")
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 25, 25, 3))
+    variables = model.init(jax.random.key(0), x)
+    y = model.apply(variables, x, train=False)
+    assert y.dtype == jnp.float32  # logits promoted for stable CE
+    # params stay float32
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree.leaves(variables["params"])
+    )
+
+
+def test_dense_variant_differs_from_sequential():
+    x = jax.random.normal(jax.random.key(1), (1, 25, 25, 3))
+    cfg_a = ModelConfig(net_type="dilated_icpr_rate6", num_classes=2)
+    cfg_b = ModelConfig(net_type="dilated_icpr_rate6_densely", num_classes=2)
+    ma, mb = build_model(cfg_a), build_model(cfg_b)
+    va = ma.init(jax.random.key(0), x)
+    vb = mb.init(jax.random.key(0), x)
+    na = sum(p.size for p in jax.tree.leaves(va["params"]))
+    nb = sum(p.size for p in jax.tree.leaves(vb["params"]))
+    assert nb > na  # dense concat inflates input channels

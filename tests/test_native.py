@@ -1,0 +1,54 @@
+"""Native (C++) position-table builder: exact parity with the numpy
+fallback, permutation-correct shuffling, and sampler integration."""
+
+import numpy as np
+import pytest
+
+from dynseg.data import native
+from dynseg.data.sampler import BalancedPatchSampler
+from dynseg.data.tiles import pack_tiles
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (g++ missing?)"
+)
+
+
+def test_tables_match_numpy(rng):
+    masks = rng.integers(0, 5, size=(3, 64, 48)).astype(np.int32)
+    masks[0, :3] = 255  # IGNORE rows skipped
+    tables = native.build_position_tables(masks, 5)
+    for c in range(5):
+        t, r, cc = np.nonzero(masks == c)
+        ref = np.stack([t, r, cc], axis=1).astype(np.int32)
+        np.testing.assert_array_equal(tables[c], ref)
+
+
+def test_large_volume_counts(rng):
+    # >1M pixels exercises the multithreaded counting path
+    masks = rng.integers(0, 3, size=(1, 1200, 1000)).astype(np.int32)
+    tables = native.build_position_tables(masks, 3)
+    counts = np.bincount(masks.ravel(), minlength=3)
+    assert [len(t) for t in tables] == list(counts)
+
+
+def test_shuffle_is_permutation(rng):
+    masks = rng.integers(0, 2, size=(1, 30, 30)).astype(np.int32)
+    tables = native.build_position_tables(masks, 2)
+    tb = tables[0].copy()
+    native.shuffle_table(tb, seed=7)
+    assert sorted(map(tuple, tb)) == sorted(map(tuple, tables[0]))
+    assert not np.array_equal(tb, tables[0])
+    # deterministic given seed
+    tb2 = tables[0].copy()
+    native.shuffle_table(tb2, seed=7)
+    np.testing.assert_array_equal(tb, tb2)
+
+
+def test_sampler_native_vs_numpy_equivalent(rng):
+    masks = rng.integers(0, 3, size=(2, 40, 40)).astype(np.int32)
+    ims = [np.zeros((40, 40, 3), np.float32)] * 2
+    ts = pack_tiles(list(np.zeros((2, 40, 40, 3), np.float32)), list(masks))
+    a = BalancedPatchSampler(ts, 3, pad=0, seed=0, use_native=True)
+    b = BalancedPatchSampler(ts, 3, pad=0, seed=0, use_native=False)
+    # same positions drawn: tables identical (raster order) + same host rng
+    np.testing.assert_array_equal(a.sample(64), b.sample(64))

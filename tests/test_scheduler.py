@@ -1,0 +1,105 @@
+"""Scale-scheduler tests (SURVEY.md C12): all four distribution types,
+score updates, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+from dynseg.config import SchedulerConfig
+from dynseg.sched.scheduler import ScaleScheduler
+
+
+def test_single_fixed():
+    s = ScaleScheduler(SchedulerConfig(distribution_type="single_fixed", values=(25, 35)))
+    assert all(s.select() == 25 for _ in range(10))
+
+
+def test_multi_fixed_cycles():
+    s = ScaleScheduler(SchedulerConfig(distribution_type="multi_fixed", values=(25, 35, 45)))
+    assert [s.select() for _ in range(6)] == [25, 35, 45, 25, 35, 45]
+
+
+def test_uniform_hits_all_values():
+    s = ScaleScheduler(SchedulerConfig(distribution_type="uniform", values=(25, 35, 45)), seed=0)
+    seen = {s.select() for _ in range(200)}
+    assert seen == {25, 35, 45}
+
+
+def test_multinomial_favors_high_accuracy_scale():
+    cfg = SchedulerConfig(
+        distribution_type="multinomial", values=(25, 35, 45),
+        update_type="acc", favor_high_score=True, ema=0.5,
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    for _ in range(20):
+        s.update(25, loss=1.0, acc=0.9)
+        s.update(35, loss=1.0, acc=0.3)
+        s.update(45, loss=1.0, acc=0.3)
+    p = s.probabilities()
+    assert p[0] > p[1] and p[0] > p[2]
+    assert s.best_scales(1) == [25]
+    draws = np.array([s.select() for _ in range(500)])
+    assert (draws == 25).mean() > 0.5
+
+
+def test_multinomial_loss_mode_inverts():
+    cfg = SchedulerConfig(
+        distribution_type="multinomial", values=(25, 35),
+        update_type="loss", favor_high_score=True, ema=0.5,
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    for _ in range(20):
+        s.update(25, loss=0.1, acc=0.0)   # low loss = good
+        s.update(35, loss=2.0, acc=0.0)
+    p = s.probabilities()
+    assert p[0] > p[1]
+
+
+def test_favor_low_score_bracket():
+    # the bracketable sign convention (SURVEY.md §7 hard part 1)
+    cfg = SchedulerConfig(
+        distribution_type="multinomial", values=(25, 35),
+        update_type="acc", favor_high_score=False, ema=0.5,
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    for _ in range(20):
+        s.update(25, loss=0.0, acc=0.9)
+        s.update(35, loss=0.0, acc=0.3)
+    p = s.probabilities()
+    assert p[1] > p[0]  # struggling scale trained harder
+
+
+def test_unvisited_scales_get_optimistic_mass():
+    cfg = SchedulerConfig(distribution_type="multinomial", values=(25, 35, 45))
+    s = ScaleScheduler(cfg, seed=0)
+    p0 = s.probabilities()
+    np.testing.assert_allclose(p0, [1 / 3] * 3)
+    s.update(25, loss=1.0, acc=0.5)
+    p1 = s.probabilities()
+    assert p1[1] > 0.05 and p1[2] > 0.05  # exploration preserved
+
+
+def test_no_starvation():
+    """A scale with a worse-but-finite score keeps meaningful probability
+    mass — normalized raw scores, not min-subtracted (which starves)."""
+    cfg = SchedulerConfig(
+        distribution_type="multinomial", values=(25, 35),
+        update_type="acc", favor_high_score=True, ema=0.9,
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    s.update(35, loss=1.0, acc=0.487)  # visited once, mediocre
+    for _ in range(50):
+        s.update(25, loss=0.1, acc=0.985)
+    p = s.probabilities()
+    assert p[1] > 0.25, p  # ≈ 0.487/(0.487+0.985) ≈ 0.33, never ~0
+
+
+def test_state_dict_roundtrip():
+    cfg = SchedulerConfig(distribution_type="multinomial", values=(25, 35))
+    a = ScaleScheduler(cfg, seed=3)
+    for i in range(5):
+        a.update(a.select(), loss=float(i), acc=0.1 * i)
+    st = a.state_dict()
+    b = ScaleScheduler(cfg, seed=999)
+    b.load_state_dict(st)
+    np.testing.assert_allclose(a.probabilities(), b.probabilities())
+    assert [a.select() for _ in range(10)] == [b.select() for _ in range(10)]

@@ -1,0 +1,132 @@
+"""Training-engine tests: loss decreases, weight-decay masking, bucketed
+multi-scale steps share one parameter set, and the DP path runs sharded
+over the 8 virtual devices (SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dynseg.config import Config, DataConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.data.datasets import load_synthetic
+from dynseg.sched.scheduler import ScaleScheduler
+from dynseg.train import Trainer, make_optimizer, masked_cross_entropy, train_loop
+
+
+def tiny_config(**overrides) -> Config:
+    base = Config(
+        model=ModelConfig(
+            net_type="dilated_grsl", num_classes=2, num_input_bands=3,
+            width_multiplier=0.125,
+        ),
+        sched=SchedulerConfig(distribution_type="multi_fixed", values=(9, 15)),
+        train=TrainConfig(
+            learning_rate=0.05, weight_decay=5e-4, batch_size=16,
+            niter=30, eval_every=1000, checkpoint_every=1000, seed=0,
+        ),
+        data=DataConfig(dataset="synthetic"),
+    )
+    return dataclasses.replace(base, **overrides) if overrides else base
+
+
+@pytest.fixture(scope="module")
+def tiles():
+    return load_synthetic(seed=0, num_tiles=2, size=96)
+
+
+def test_masked_ce_ignores_padding():
+    logits = jnp.zeros((1, 1, 2, 3))
+    labels = jnp.array([[[0, 255]]])
+    # only the valid pixel contributes: CE = log(3)
+    np.testing.assert_allclose(
+        float(masked_cross_entropy(logits, labels)), np.log(3), rtol=1e-4
+    )
+
+
+def test_weight_decay_only_on_kernels(tiles):
+    cfg = tiny_config()
+    tx = make_optimizer(cfg)
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    zeros = jax.tree.map(jnp.zeros_like, state.params)
+    updates, _ = tx.update(zeros, tx.init(state.params), state.params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, u in flat:
+        keys = [getattr(p, "key", "") for p in path]
+        if "kernel" in keys:
+            assert float(jnp.abs(u).max()) > 0, keys  # decayed
+        else:
+            assert float(jnp.abs(u).max()) == 0, keys  # bias/BN untouched
+
+
+def test_loss_decreases_and_buckets_share_params(tiles):
+    cfg = tiny_config()
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    rng = jax.random.key(1)
+
+    losses = []
+    for it in range(30):
+        scale = sched.select()  # alternates 9 / 15 — both buckets exercised
+        rng, dr = jax.random.split(rng)
+        state, m = trainer.train_step(state, scale, dr)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
+    assert int(state.step) == 30
+
+
+def test_train_loop_updates_scheduler(tiles):
+    cfg = tiny_config()
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    sched = ScaleScheduler(
+        dataclasses.replace(cfg.sched, distribution_type="multinomial"), seed=0
+    )
+    state = train_loop(cfg, trainer, state, sched, niter=8, log_every=100, log=lambda *_: None)
+    st = sched.state_dict()
+    assert any(v is not None for v in st["scores"].values())
+    assert int(state.step) == 8
+
+
+def test_dp_sharded_training_runs(tiles):
+    n = jax.device_count()
+    assert n == 8, "conftest must provide 8 virtual CPU devices"
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=16, niter=4, num_devices=8, seed=0,
+    ))
+    trainer = Trainer(cfg, tiles[0])
+    assert trainer.mesh.devices.size == 8
+    state = trainer.init_state(jax.random.key(0))
+    rng = jax.random.key(1)
+    for _ in range(3):
+        rng, dr = jax.random.split(rng)
+        state, m = trainer.train_step(state, 9, dr)
+    assert np.isfinite(float(m["loss"]))
+    # params replicated: addressable on every device
+    p0 = jax.tree.leaves(state.params)[0]
+    assert p0.sharding.is_fully_replicated
+
+
+def test_batch_rescaling_by_area(tiles):
+    cfg = tiny_config(train=TrainConfig(batch_size=64, rescale_batch_by_area=True))
+    trainer = Trainer(cfg, tiles[0])
+    b9 = trainer.batch_size_for(9)
+    b15 = trainer.batch_size_for(15)
+    assert b9 == 64 and b15 < b9
+    assert abs(b15 * 15 * 15 - b9 * 9 * 9) / (b9 * 81) < 0.35  # ~const pixels
+
+
+def test_compile_buckets_does_not_mutate_state(tiles):
+    cfg = tiny_config()
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    times = trainer.compile_buckets(state)
+    assert set(times) == {9, 15}
+    after = jax.tree.leaves(state.params)
+    for a, b in zip(jax.tree.leaves(before), after):
+        np.testing.assert_array_equal(a, np.asarray(b))
