@@ -68,6 +68,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel TPU chips (mesh axis 'data')")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps fused per device launch (lax.scan); "
+                        "1 = per-batch scheduler feedback like the reference")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_balanced_sampling", action="store_true")
@@ -78,6 +81,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="scales fused at inference (default: training values)")
     p.add_argument("--no_prediction_maps", action="store_true")
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler device trace here (XProf)")
     p.add_argument("--lr_decay_rate", type=float, default=1.0)
     p.add_argument("--lr_decay_steps", type=int, default=50000)
     return p
@@ -108,6 +113,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             rescale_batch_by_area=args.rescale_batch_by_area,
             eval_every=args.eval_every,
             checkpoint_every=args.checkpoint_every,
+            steps_per_call=args.steps_per_call,
             seed=args.seed,
             num_devices=args.num_devices,
             output_path=args.output_path,
@@ -147,7 +153,7 @@ def run_training(cfg: Config, log=print) -> dict:
 
     train_tiles, test_tiles = load_dataset(
         cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
-        **({"seed": cfg.train.seed} if cfg.data.dataset == "synthetic" else {}),
+        **({"seed": cfg.train.seed} if cfg.data.dataset.startswith("synthetic") else {}),
     )
     cfg = _fix_num_input_bands(cfg, train_tiles)
     os.makedirs(cfg.train.output_path, exist_ok=True)
@@ -221,7 +227,7 @@ def run_testing(cfg: Config, log=print) -> dict:
 
     train_tiles, test_tiles = load_dataset(
         cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
-        **({"seed": cfg.train.seed} if cfg.data.dataset == "synthetic" else {}),
+        **({"seed": cfg.train.seed} if cfg.data.dataset.startswith("synthetic") else {}),
     )
     cfg = _fix_num_input_bands(cfg, train_tiles)
     trainer = Trainer(cfg, train_tiles)
@@ -253,15 +259,32 @@ def _write_scores(cfg: Config, scores: dict) -> None:
         json.dump(out, f, indent=2)
 
 
+def enable_compilation_cache(path: str = "/tmp/dynseg_jax_cache") -> None:
+    """Persistent XLA compilation cache — re-runs skip the 45s-per-bucket
+    (remote) compiles entirely. Verified to work on the axon platform."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs — compile per run
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
+    enable_compilation_cache()
+    from dynseg.utils.logging import MetricLogger
+    from dynseg.utils.profiling import trace
+
+    logger = MetricLogger(cfg.train.output_path)
     t0 = time.time()
-    if args.operation == "training":
-        run_training(cfg)
-    else:  # testing / validate_test
-        run_testing(cfg)
-    print(f"total time: {time.time() - t0:.1f}s")
+    with trace(args.profile_dir or None):
+        if args.operation == "training":
+            run_training(cfg, log=logger)
+        else:  # testing / validate_test
+            run_testing(cfg, log=logger)
+    logger.log(f"total time: {time.time() - t0:.1f}s")
+    logger.close()
     return 0
 
 

@@ -25,7 +25,7 @@ NET_TYPES = (
     "dilated_grsl_rate8",
     "dilated_icpr_original",
 )
-DATASETS = ("coffee", "grss_dfc_2014", "vaihingen", "potsdam", "synthetic")
+DATASETS = ("coffee", "grss_dfc_2014", "vaihingen", "potsdam", "synthetic", "synthetic_multi")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +92,11 @@ class TrainConfig:
     rescale_batch_by_area: bool = False
     eval_every: int = 500
     checkpoint_every: int = 1000
+    # Optimizer steps fused into one device launch (lax.scan). 1 ==
+    # reference-exact per-batch scheduler feedback; >1 amortizes the
+    # ~10 ms per-launch dispatch overhead of remote/tunneled TPUs
+    # (scores then update once per chunk with chunk-mean metrics).
+    steps_per_call: int = 1
     seed: int = 0
     # Data-parallel device count; 1 = single chip. The mesh axis is "data".
     num_devices: int = 1

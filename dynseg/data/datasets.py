@@ -45,6 +45,9 @@ NUM_CLASSES = {
     "vaihingen": 6,
     "potsdam": 6,
     "synthetic": 2,
+    # 6-class, 4-band synthetic — exercises the Vaihingen/Potsdam code
+    # paths (multi-class balancing, palettes, F1 averaging) without data.
+    "synthetic_multi": 6,
 }
 PALETTES = {
     "coffee": COFFEE_PALETTE,
@@ -52,6 +55,7 @@ PALETTES = {
     "vaihingen": ISPRS_PALETTE,
     "potsdam": ISPRS_PALETTE,
     "synthetic": COFFEE_PALETTE,
+    "synthetic_multi": ISPRS_PALETTE,
 }
 
 
@@ -111,8 +115,10 @@ def load_synthetic(
                 + csum[:, :-k, :-k]
             ) / (k * k)
             mask = np.argmax(fields, axis=0).astype(np.int32)
-            # Band signatures: class c has mean 40 + 120*(c pattern per band).
-            sig = 40.0 + 150.0 * ((np.arange(num_classes)[:, None] * (np.arange(num_bands) + 1)) % (num_bands + 1)) / num_bands
+            # Band signatures: distinct per class (seeded uniform draws —
+            # a modular pattern collides for num_classes > num_bands+1).
+            sig_rng = np.random.default_rng(12345)
+            sig = sig_rng.uniform(35.0, 220.0, size=(num_classes, num_bands))
             im = sig[mask] + rng.normal(scale=18.0, size=(size, size, num_bands))
             ims.append(np.clip(im, 0, 255).astype(np.float32))
             mks.append(mask)
@@ -259,5 +265,9 @@ def load_dataset(name: str, path: str = "", fold: int = 0, **synth_kwargs
     """Dispatch mirroring the reference's per-dataset branches
     ([R] dynamic.py:≈load_images; SURVEY.md C2)."""
     if name == "synthetic":
+        return load_synthetic(**synth_kwargs)
+    if name == "synthetic_multi":
+        synth_kwargs.setdefault("num_classes", 6)
+        synth_kwargs.setdefault("num_bands", 4)
         return load_synthetic(**synth_kwargs)
     return LOADERS[name](path, fold)

@@ -78,34 +78,53 @@ class Inferencer:
         tile: jnp.ndarray,  # (Hp, Wp, C) padded tile (raw values)
         prob: jnp.ndarray,  # (Hp, Wp, nc) running softmax sum (donated)
         cnt: jnp.ndarray,  # (Hp, Wp, 1) running vote count (donated)
-        origins: jnp.ndarray,  # (B, 2) int32 window top-left corners
-        weights: jnp.ndarray,  # (B,) float32 (0 = padding window)
+        origins: jnp.ndarray,  # (NB, B, 2) int32 window top-left corners
+        weights: jnp.ndarray,  # (NB, B) float32 (0 = padding window)
         *,
         size: int,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """ALL window batches of one (tile, scale) pair in ONE launch: an
+        outer lax.scan over batches (amortizes the ~10ms dispatch cost of
+        remote TPUs across the whole tile) around batched forward +
+        sequential overlap-add (the read-modify-write is ordered, so no
+        scatter races — SURVEY.md §7 hard part 3)."""
         c = tile.shape[-1]
 
         def gather(o):
             w = jax.lax.dynamic_slice(tile, (o[0], o[1], 0), (size, size, c))
             return (w - self.mean) / self.std
 
-        windows = jax.vmap(gather)(origins)  # (B, s, s, C)
-        logits = self.model.apply(variables, windows, train=False)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        probs = probs * weights[:, None, None, None]
+        def batch_body(carry, xs):
+            prob, cnt = carry
+            origins_b, weights_b = xs  # (B,2), (B,)
+            windows = jax.vmap(gather)(origins_b)  # (B, s, s, C)
+            logits = self.model.apply(variables, windows, train=False)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs * weights_b[:, None, None, None]
 
-        def body(i, carry):
-            p, n = carry
-            o = origins[i]
-            cur = jax.lax.dynamic_slice(p, (o[0], o[1], 0), (size, size, self.nc))
-            p = jax.lax.dynamic_update_slice(p, cur + probs[i], (o[0], o[1], 0))
-            curn = jax.lax.dynamic_slice(n, (o[0], o[1], 0), (size, size, 1))
-            n = jax.lax.dynamic_update_slice(
-                n, curn + weights[i], (o[0], o[1], 0)
+            def body(i, carry):
+                p, n = carry
+                o = origins_b[i]
+                cur = jax.lax.dynamic_slice(
+                    p, (o[0], o[1], 0), (size, size, self.nc)
+                )
+                p = jax.lax.dynamic_update_slice(
+                    p, cur + probs[i], (o[0], o[1], 0)
+                )
+                curn = jax.lax.dynamic_slice(n, (o[0], o[1], 0), (size, size, 1))
+                n = jax.lax.dynamic_update_slice(
+                    n, curn + weights_b[i], (o[0], o[1], 0)
+                )
+                return p, n
+
+            prob, cnt = jax.lax.fori_loop(
+                0, origins_b.shape[0], body, (prob, cnt)
             )
-            return p, n
+            return (prob, cnt), None
 
-        prob, cnt = jax.lax.fori_loop(0, origins.shape[0], body, (prob, cnt))
+        (prob, cnt), _ = jax.lax.scan(
+            batch_body, (prob, cnt), (origins, weights)
+        )
         return prob, cnt
 
     # ------------------------------------------------------------------ #
@@ -141,16 +160,16 @@ class Inferencer:
             weights = np.concatenate(
                 [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
             )
-            for i in range(0, len(origins), B):
-                prob, cnt = self._accumulate(
-                    variables,
-                    tile,
-                    prob,
-                    cnt,
-                    jnp.asarray(origins[i : i + B]),
-                    jnp.asarray(weights[i : i + B]),
-                    size=s,
-                )
+            nb = len(origins) // B
+            prob, cnt = self._accumulate(
+                variables,
+                tile,
+                prob,
+                cnt,
+                jnp.asarray(origins.reshape(nb, B, 2)),
+                jnp.asarray(weights.reshape(nb, B)),
+                size=s,
+            )
 
         prob_np = np.asarray(prob[self.pad : self.pad + h, self.pad : self.pad + w])
         cnt_np = np.asarray(cnt[self.pad : self.pad + h, self.pad : self.pad + w, 0])

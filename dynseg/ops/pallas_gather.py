@@ -1,0 +1,203 @@
+"""K2 — Pallas patch-gather kernel (SURVEY.md §2 kernel K2).
+
+The jnp fallback (vmap of lax.dynamic_slice) lowers to XLA gathers that
+measured ~25% of the whole train step for 25-65 px patches. This kernel
+drives the DMA engines directly.
+
+Mosaic DMA alignment rules shape the design: slices of (8,128)-tiled
+refs need 8-aligned row offsets/heights and 128-aligned lane
+offsets/widths — and a patch (s in 25..65, C=3..5) satisfies none of
+them. The kernel is throughput-bound on PER-PATCH fixed costs (descriptor
+issue, scalar address math, roll setup), so everything is fused into one
+operation chain per patch:
+
+  1. image channels and the label plane are interleaved host/trace-side
+     into ONE row-major 2-D array (T*H, W*(C+1)) — a patch is ONE DMA,
+     one roll pair, one store;
+  2. per patch, DMA an ALIGNED bounding window: rows aligned down to 8
+     (8 slack rows), lanes aligned down to 128 (pl.multiple_of marks the
+     dynamic offsets aligned); N_BUF-deep pipelining hides DMA latency;
+  3. un-shift the residual row offset (sublane roll) and lane offset
+     (dynamic lane rotate) on the small window, keep the leading
+     (s, s*(C+1)) block;
+  4. normalization is fused into the store: mean/1-std rows are tiled
+     per-pixel with (mean_c..., 0) and (1/std_c..., 1) so the label
+     plane passes through unchanged.
+
+Output is (B, s, s*(C+1)); the caller splits image/label and reshapes
+(XLA relayouts). Dihedral augmentation happens outside — batched
+(dynseg.ops.gather.dihedral_batch) or via pre-transformed tile copies.
+
+VMEM is bounded by the window sizes (independent of tile width), so this
+path supports production-size tiles; pallas_gather_supported() is the
+budget check."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_N_BUF = 8  # DMA pipeline depth
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16 MB
+_LANE = 128
+
+
+def _rows_for(size: int) -> int:
+    return (size + 7) // 8 * 8 + 8
+
+
+def _lanes_for(span: int) -> int:
+    """Aligned window width covering `span` lanes at any 128-residual."""
+    return ((span + _LANE - 1) // _LANE + 1) * _LANE
+
+
+def pallas_gather_supported(
+    tile_shape: Tuple[int, int, int, int], size: int, batch: int
+) -> bool:
+    """Whether scratch + outputs for this gather fit the VMEM budget."""
+    _, _, _, c = tile_shape
+    rows = _rows_for(size)
+    scratch = _N_BUF * rows * _lanes_for(size * (c + 1)) * 4
+    outputs = batch * size * size * (c + 1) * 4
+    return scratch + outputs < _VMEM_BUDGET
+
+
+def _gather_kernel(
+    pos_ref,  # (B, 3) int32 SMEM (scalar prefetch): tile, row, col center
+    comb_hbm,  # (T*H + slack, W*(C+1) + pad) float32, stays in HBM
+    mean_ref,  # (1, s*(C+1)) float32 VMEM: (mean_c..., 0) per pixel
+    istd_ref,  # (1, s*(C+1)) float32 VMEM: (1/std_c..., 1) per pixel
+    out_ref,  # (B, s, s*(C+1)) float32 VMEM
+    scr,  # (N_BUF, rows, lanes) VMEM scratch
+    sem,  # (N_BUF,) DMA semaphores
+    *,
+    size: int,
+    batch: int,
+    tile_h: int,
+    stride: int,  # channels + 1
+    total_rows: int,
+    total_lanes: int,
+):
+    half = size // 2
+    rows = _rows_for(size)
+    lanes = _lanes_for(size * stride)
+    # Aligned-down starts stay <= the clamped value, so these bounds keep
+    # start + extent within the (slack-padded) array.
+    max_row0 = total_rows - rows
+    max_l0 = total_lanes - lanes
+
+    def offsets(b):
+        # Clamp to the DMA-safe ranges: this kernel reads raw HBM
+        # addresses, and (unlike XLA's clamping dynamic_slice) an
+        # out-of-range position would crash the whole TPU backend.
+        # Clamped garbage positions return garbage data, never a crash.
+        row0 = pos_ref[b, 0] * tile_h + pos_ref[b, 1] - half
+        row0 = jnp.clip(row0, 0, max_row0)
+        row_al = pl.multiple_of(row0 // 8 * 8, 8)
+        l0 = (pos_ref[b, 2] - half) * stride
+        l0 = jnp.clip(l0, 0, max_l0)
+        l_al = pl.multiple_of(l0 // _LANE * _LANE, _LANE)
+        return row_al, row0 - row_al, l_al, l0 - l_al
+
+    def make_dma(slot, b):
+        row_al, _, l_al, _ = offsets(b)
+        return pltpu.make_async_copy(
+            comb_hbm.at[pl.ds(row_al, rows), pl.ds(l_al, lanes)],
+            scr.at[slot],
+            sem.at[slot],
+        )
+
+    for warm in range(min(_N_BUF - 1, batch)):
+        make_dma(warm % _N_BUF, warm).start()
+
+    def body(b, _):
+        slot = jax.lax.rem(b, _N_BUF)
+        ahead = b + _N_BUF - 1
+
+        @pl.when(ahead < batch)
+        def _():
+            make_dma(jax.lax.rem(ahead, _N_BUF), ahead).start()
+
+        make_dma(slot, b).wait()
+
+        _, row_res, _, lane_res = offsets(b)
+        # Un-shift rows (sublane roll) and lanes (dynamic rotate), then
+        # keep the leading (s, s*(C+1)) block; residuals never wrap past
+        # the extra lane/row tile, so wrapped values are never read.
+        band = scr[slot]
+        band = pltpu.roll(band, rows - row_res, axis=0)
+        band = pltpu.roll(band, lanes - lane_res, axis=1)
+        out_ref[b] = (
+            band[:size, : size * stride] - mean_ref[0, :]
+        ) * istd_ref[0, :]
+        return ()
+
+    jax.lax.fori_loop(0, batch, body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def pallas_gather_batch(
+    images: jnp.ndarray,  # (T, H, W, C) float32
+    masks: jnp.ndarray,  # (T, H, W) int32
+    mean: jnp.ndarray,  # (C,)
+    std: jnp.ndarray,  # (C,)
+    positions: jnp.ndarray,  # (B, 3) int32 patch centers (padded coords)
+    size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,s,s,C) normalized image patches + (B,s,s) label patches."""
+    b = positions.shape[0]
+    t, h, w, c = images.shape
+    stride = c + 1
+    rows = _rows_for(size)
+    lanes = _lanes_for(size * stride)
+    # Interleave the label plane as channel C. Exact for ids < 2^24
+    # (IGNORE_LABEL=255 included). Loop-invariant: XLA hoists this out of
+    # the train-step scan, and in steady state it is built once.
+    comb = jnp.concatenate(
+        [images, masks[..., None].astype(jnp.float32)], axis=-1
+    )
+    row_slack = rows - size + 7  # aligned-down start + height overshoot
+    lane_slack = (w * stride // _LANE * _LANE + lanes) - w * stride
+    comb2d = jnp.pad(
+        comb.reshape(t * h, w * stride), ((0, row_slack), (0, lane_slack))
+    )
+    # Per-pixel normalization rows; label slot passes through: mean 0, scale 1.
+    mean_px = jnp.concatenate([mean.astype(jnp.float32), jnp.zeros((1,))])
+    istd_px = jnp.concatenate(
+        [1.0 / std.astype(jnp.float32), jnp.ones((1,))]
+    )
+    mean_row = jnp.tile(mean_px, size).reshape(1, -1)
+    istd_row = jnp.tile(istd_px, size).reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # comb2d
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mean row
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # 1/std row
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_N_BUF, rows, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_kernel, size=size, batch=b, tile_h=h, stride=stride,
+        total_rows=t * h + row_slack, total_lanes=w * stride + lane_slack,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, size, size * stride), jnp.float32),
+    )(positions, comb2d, mean_row, istd_row)
+    out = out.reshape(b, size, size, stride)
+    imgs = out[..., :c]
+    labs = out[..., c].astype(jnp.int32)
+    return imgs, labs

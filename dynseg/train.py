@@ -124,7 +124,7 @@ class Trainer:
         self.std = jax.device_put(padded.std, self.repl)
 
         self._train_step = jax.jit(
-            self._step_impl,
+            self._chunk_impl,
             static_argnames=("size",),
             donate_argnames=("state",),
         )
@@ -146,13 +146,45 @@ class Trainer:
         return jax.device_put(state, self.repl)
 
     # ------------------------------------------------------------------ #
+    def _chunk_impl(
+        self,
+        state: TrainState,
+        positions: jnp.ndarray,  # (K, B, 3) — K steps fused in ONE launch
+        aug_ids: jnp.ndarray,  # (K, B)
+        dropout_rngs: jax.Array,  # (K,) keys
+        *,
+        size: int,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """K optimizer steps per device launch via lax.scan.
+
+        Dispatch overhead on a tunneled/remote TPU runs ~10 ms per launch
+        (measured) while the device step itself is ~4 ms — scanning K
+        steps inside one XLA program amortizes it away. K=1 reproduces
+        the reference's strictly per-batch loop; K>1 trades scheduler
+        feedback latency (scores update once per chunk) for throughput.
+        Returned metrics are chunk means."""
+
+        if positions.shape[0] == 1:
+            # K=1: skip the scan — XLA-CPU disables intra-op parallelism
+            # inside loop bodies (60x slower there), and a bare step is
+            # identical math.
+            return self._step_impl(
+                state, positions[0], aug_ids[0], dropout_rngs[0], size
+            )
+
+        def body(st, xs):
+            pos, aug, rng = xs
+            return self._step_impl(st, pos, aug, rng, size)
+
+        state, ms = jax.lax.scan(body, state, (positions, aug_ids, dropout_rngs))
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
+
     def _step_impl(
         self,
         state: TrainState,
         positions: jnp.ndarray,
         aug_ids: jnp.ndarray,
         dropout_rng: jax.Array,
-        *,
         size: int,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         imgs, labs = gather_batch(
@@ -223,19 +255,26 @@ class Trainer:
         n = self.mesh.devices.size
         return max(n, (b // n) * n)
 
-    def make_batch_inputs(self, size: int, augment: Optional[bool] = None):
-        """Host-side sampling -> device-sharded index arrays (tiny)."""
+    def make_batch_inputs(self, size: int, augment: Optional[bool] = None,
+                          k: int = 1):
+        """Host-side sampling of K step-batches -> device-sharded index
+        arrays (tiny: K*B*4 int32s per launch)."""
         b = self.batch_size_for(size)
         aug = self.cfg.data.augment if augment is None else augment
-        pos = self.sampler.sample(b)
-        aug_ids = self.sampler.sample_augment_ids(b, aug)
-        pos = jax.device_put(pos, self.batch_sharded)
-        aug_ids = jax.device_put(aug_ids, self.batch_sharded)
+        pos = self.sampler.sample(k * b).reshape(k, b, 3)
+        aug_ids = self.sampler.sample_augment_ids(k * b, aug).reshape(k, b)
+        P = jax.sharding.PartitionSpec
+        chunk_sharded = jax.sharding.NamedSharding(self.mesh, P(None, "data"))
+        pos = jax.device_put(pos, chunk_sharded)
+        aug_ids = jax.device_put(aug_ids, chunk_sharded)
         return pos, aug_ids
 
     def train_step(self, state: TrainState, size: int, dropout_rng: jax.Array):
-        pos, aug_ids = self.make_batch_inputs(size)
-        return self._train_step(state, pos, aug_ids, dropout_rng, size=size)
+        """One device launch = cfg.train.steps_per_call optimizer steps."""
+        k = self.cfg.train.steps_per_call
+        pos, aug_ids = self.make_batch_inputs(size, k=k)
+        rngs = jax.random.split(dropout_rng, k)
+        return self._train_step(state, pos, aug_ids, rngs, size=size)
 
     def eval_crops(
         self,
@@ -265,18 +304,33 @@ class Trainer:
     def compile_buckets(self, state: TrainState) -> Dict[int, float]:
         """Pre-compile every per-scale step BEFORE the timed loop so XLA
         never compiles mid-training (SURVEY.md C12 TPU equivalent).
-        Returns compile seconds per scale. AOT-lowered so compilation does
-        not advance optimizer state or RNG."""
+        Returns compile seconds per scale.
+
+        Uses a real warm-up call on a throwaway COPY of the state (the
+        caller's state/optimizer/RNG are untouched) rather than AOT
+        .lower().compile() — the chipless AOT compile service hangs on
+        scan+Pallas programs on the axon remote-TPU platform, while the
+        standard jit path compiles them fine."""
         times: Dict[int, float] = {}
         rng = jax.random.key(0)
         for s in self.scales:
             t0 = time.perf_counter()
+            k = self.cfg.train.steps_per_call
             b = self.batch_size_for(s)
-            pos = jax.device_put(
-                np.zeros((b, 3), np.int32) + self.pad, self.batch_sharded
-            )
-            aug = jax.device_put(np.zeros((b,), np.int32), self.batch_sharded)
-            self._train_step.lower(state, pos, aug, rng, size=s).compile()
+            P = jax.sharding.PartitionSpec
+            chunk_sharded = jax.sharding.NamedSharding(self.mesh, P(None, "data"))
+            # Valid dummy positions: tile 0, center (pad, pad). The tile
+            # index MUST be in range — the Pallas gather DMAs raw HBM
+            # addresses (out-of-range tile ids crash the TPU, unlike
+            # XLA's clamping dynamic_slice).
+            pos = np.zeros((k, b, 3), np.int32)
+            pos[..., 1:] = self.pad
+            pos = jax.device_put(pos, chunk_sharded)
+            aug = jax.device_put(np.zeros((k, b), np.int32), chunk_sharded)
+            rngs = jax.random.split(rng, k)
+            scratch = jax.tree.map(jnp.copy, state)  # donated by the call
+            _, metrics = self._train_step(scratch, pos, aug, rngs, size=s)
+            jax.block_until_ready(metrics["loss"])
             times[s] = time.perf_counter() - t0
         return times
 
@@ -298,35 +352,41 @@ def train_loop(
     periodic validation/checkpoint. Metric fetches are pipelined one step
     behind so the host never blocks the device."""
     niter = cfg.train.niter if niter is None else niter
+    k = cfg.train.steps_per_call
     rng = jax.random.key(cfg.train.seed + 1)
     pending: Optional[Tuple[int, Dict[str, jnp.ndarray]]] = None
     t0 = time.perf_counter()
     patches = 0
-    for it in range(start_iter, niter):
+    it = start_iter
+    while it < niter:
         scale = scheduler.select()
         rng, dr = jax.random.split(rng)
         state, metrics = trainer.train_step(state, scale, dr)
-        patches += trainer.batch_size_for(scale)
+        prev_it, it = it, it + k
+        patches += k * trainer.batch_size_for(scale)
 
         if pending is not None:
             ps, pm = pending
             scheduler.update(ps, float(pm["loss"]), float(pm["acc"]))
         pending = (scale, metrics)
 
-        if (it + 1) % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+        def crossed(every: int) -> bool:
+            return prev_it // every != it // every
+
+        if crossed(log_every):
+            m = {key: float(v) for key, v in metrics.items()}
             dt = time.perf_counter() - t0
             log(
-                f"iter {it + 1}/{niter} scale={scale} loss={m['loss']:.4f} "
+                f"iter {it}/{niter} scale={scale} loss={m['loss']:.4f} "
                 f"acc={m['acc']:.4f} patches/s={patches / max(dt, 1e-9):.1f} "
                 f"| {scheduler.summary()}"
             )
             t0 = time.perf_counter()
             patches = 0
-        if on_eval is not None and (it + 1) % cfg.train.eval_every == 0:
-            on_eval(it + 1, state)
-        if checkpointer is not None and (it + 1) % cfg.train.checkpoint_every == 0:
-            checkpointer(it + 1, state, scheduler)
+        if on_eval is not None and crossed(cfg.train.eval_every):
+            on_eval(it, state)
+        if checkpointer is not None and crossed(cfg.train.checkpoint_every):
+            checkpointer(it, state, scheduler)
     if pending is not None:
         ps, pm = pending
         scheduler.update(ps, float(pm["loss"]), float(pm["acc"]))

@@ -120,6 +120,24 @@ def test_batch_rescaling_by_area(tiles):
     assert abs(b15 * 15 * 15 - b9 * 9 * 9) / (b9 * 81) < 0.35  # ~const pixels
 
 
+def test_chunked_steps_per_call(tiles):
+    """steps_per_call=K runs K optimizer steps per launch (lax.scan) and
+    reports chunk-mean metrics."""
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=12, seed=0, steps_per_call=4,
+    ))
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    state, m = trainer.train_step(state, 9, jax.random.key(1))
+    assert int(state.step) == 4
+    assert m["loss"].shape == ()
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    state = trainer.init_state(jax.random.key(2))
+    state = train_loop(cfg, trainer, state, sched, niter=12,
+                       log_every=100, log=lambda *_: None)
+    assert int(state.step) == 12
+
+
 def test_compile_buckets_does_not_mutate_state(tiles):
     cfg = tiny_config()
     trainer = Trainer(cfg, tiles[0])

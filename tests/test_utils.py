@@ -1,0 +1,38 @@
+"""Utils: metric logger JSONL, throughput meter, profiler no-op path."""
+
+import json
+import time
+
+from dynseg.utils.logging import MetricLogger
+from dynseg.utils.profiling import Meter, trace
+
+
+def test_metric_logger_writes_jsonl(tmp_path):
+    lines = []
+    lg = MetricLogger(str(tmp_path), echo=lines.append)
+    lg.log("iter 1", iter=1, loss=0.5)
+    lg("plain message")
+    lg.close()
+    assert lines == ["iter 1", "plain message"]
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert recs[0]["iter"] == 1 and recs[0]["loss"] == 0.5
+    assert recs[1]["msg"] == "plain message"
+    assert "ts" in recs[0]
+
+
+def test_meter_rate():
+    m = Meter()
+    assert m.rate == 0.0
+    m.add(100)
+    time.sleep(0.05)
+    m.add(100)
+    assert 100 < m.rate < 100000
+    m.reset()
+    assert m.rate == 0.0
+
+
+def test_trace_noop():
+    with trace(None):
+        pass
+    with trace(""):
+        pass
