@@ -79,6 +79,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--window_batch", type=int, default=128)
     p.add_argument("--test_scales", default="",
                    help="scales fused at inference (default: training values)")
+    p.add_argument("--scales_from_scheduler", type=int, default=0,
+                   help="at validate_test, fuse only the top-K scales of the "
+                        "restored scheduler distribution (paper: the final "
+                        "distribution identifies the best contexts)")
     p.add_argument("--no_prediction_maps", action="store_true")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
@@ -219,7 +223,7 @@ def run_training(cfg: Config, log=print) -> dict:
     return scores
 
 
-def run_testing(cfg: Config, log=print) -> dict:
+def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
     from dynseg.checkpoint import CheckpointManager
     from dynseg.infer import validate_test
     from dynseg.sched.scheduler import ScaleScheduler
@@ -235,8 +239,14 @@ def run_testing(cfg: Config, log=print) -> dict:
     ckpt = CheckpointManager(cfg.train.output_path)
     state, step = ckpt.restore(trainer, scheduler)
     log(f"restored checkpoint at iteration {step}")
+    scales = None
+    if scales_from_scheduler > 0:
+        # Paper semantics: the trained distribution identifies the best
+        # spatial contexts — fuse only the top-K at test time (C12/C15).
+        scales = scheduler.best_scales(scales_from_scheduler)
+        log(f"scheduler-selected inference scales: {scales}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    scores = validate_test(cfg, variables, test_tiles, log=log)
+    scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log)
     if cfg.infer.save_prediction_maps:
         from dynseg.viz import save_prediction_maps
         save_prediction_maps(
@@ -282,7 +292,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.operation == "training":
             run_training(cfg, log=logger)
         else:  # testing / validate_test
-            run_testing(cfg, log=logger)
+            run_testing(cfg, log=logger,
+                        scales_from_scheduler=args.scales_from_scheduler)
     logger.log(f"total time: {time.time() - t0:.1f}s")
     logger.close()
     return 0

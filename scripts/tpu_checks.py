@@ -1,0 +1,101 @@
+"""On-hardware checks for the TPU-only paths (run manually / by CI with a
+chip): Pallas gather parity vs the XLA fallback on REAL hardware (the CPU
+suite only covers interpret mode), a train-step smoke at every scheduled
+scale, and the inference Mpx/s meter on a production-size tile.
+
+Usage:  python scripts/tpu_checks.py [--big_tile 2048]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynseg.cli import enable_compilation_cache
+from dynseg.config import (
+    Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig,
+)
+from dynseg.data.datasets import load_synthetic
+from dynseg.data.tiles import compute_stats, pack_tiles
+from dynseg.infer import Inferencer
+from dynseg.models.dilated import build_model
+from dynseg.ops.gather import gather_batch
+from dynseg.train import Trainer
+
+
+def check_gather_parity() -> None:
+    rng = np.random.default_rng(0)
+    T, H, W, C = 3, 200, 180, 4
+    images = jax.device_put(rng.normal(size=(T, H, W, C)).astype(np.float32))
+    masks = jax.device_put(rng.integers(0, 5, (T, H, W)).astype(np.int32))
+    mean = jax.device_put(rng.normal(size=C).astype(np.float32))
+    std = jax.device_put(rng.uniform(0.5, 2.0, C).astype(np.float32))
+    for s in (25, 35, 45, 55, 65):
+        half = s // 2
+        B = 64
+        pos = np.stack(
+            [rng.integers(0, T, B),
+             rng.integers(half, H - s + half, B),
+             rng.integers(half, W - s + half, B)], 1).astype(np.int32)
+        aug = rng.integers(0, 8, B).astype(np.int32)
+        ip, lp = gather_batch(images, masks, mean, std, pos, aug, s, use_pallas=True)
+        ij, lj = gather_batch(images, masks, mean, std, pos, aug, s, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(ij), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(lj))
+        print(f"gather parity s={s}: OK", flush=True)
+
+
+def check_train_smoke() -> None:
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_icpr_rate6", num_classes=2),
+        sched=SchedulerConfig(distribution_type="multi_fixed", values=(25, 45, 65)),
+        train=TrainConfig(batch_size=32, seed=0, steps_per_call=4),
+        data=DataConfig(dataset="synthetic"))
+    tiles, _ = load_synthetic(seed=0, num_tiles=2, size=160)
+    tr = Trainer(cfg, tiles)
+    state = tr.init_state(jax.random.key(0))
+    rng = jax.random.key(1)
+    for s in (25, 45, 65):
+        rng, dr = jax.random.split(rng)
+        state, m = tr.train_step(state, s, dr)
+        loss = float(m["loss"])
+        assert np.isfinite(loss), (s, loss)
+        print(f"train smoke s={s}: loss={loss:.3f}", flush=True)
+
+
+def check_inference_mpx(big: int) -> float:
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(big, big, 3)).astype(np.float32) * 20 + 100
+    mask = rng.integers(0, 6, (big, big)).astype(np.int32)
+    ts = pack_tiles([img], [mask])
+    compute_stats(ts)
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_icpr_rate6", num_classes=6),
+        infer=InferConfig(scales=(25, 35, 45, 55, 65), window_batch=128))
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 25, 25, 3)))
+    inf = Inferencer(cfg, ts)
+    inf.predict_tile(variables, 0)  # compile + warm
+    t0 = time.perf_counter()
+    pred, prob = inf.predict_tile(variables, 0)
+    dt = time.perf_counter() - t0
+    mpxs = big * big / dt / 1e6
+    print(f"inference {big}x{big}, 5 scales: {dt:.2f}s = {mpxs:.2f} Mpx/s", flush=True)
+    return mpxs
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--big_tile", type=int, default=1024)
+    args = ap.parse_args()
+    enable_compilation_cache()
+    print("platform:", jax.devices()[0].platform, flush=True)
+    check_gather_parity()
+    check_train_smoke()
+    check_inference_mpx(args.big_tile)
+    print("ALL TPU CHECKS PASSED")
