@@ -84,6 +84,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "restored scheduler distribution (paper: the final "
                         "distribution identifies the best contexts)")
     p.add_argument("--no_prediction_maps", action="store_true")
+    p.add_argument("--inference_mode", default="window",
+                   choices=["window", "dense"],
+                   help="window = reference-parity multi-scale voting; "
+                        "dense = blockwise whole-tile forward (~20x faster)")
+    p.add_argument("--dense_block", type=int, default=256)
+    p.add_argument("--dense_halo", type=int, default=40)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler device trace here (XProf)")
@@ -128,6 +134,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
             window_batch=args.window_batch,
             scales=tuple(test_scales),
             save_prediction_maps=not args.no_prediction_maps,
+            mode=args.inference_mode,
+            dense_block=args.dense_block,
+            dense_halo=args.dense_halo,
         ),
         data=DataConfig(
             dataset=args.dataset,

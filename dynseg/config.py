@@ -116,6 +116,13 @@ class InferConfig:
     # Scales fused at test time; default: the training schedule's values.
     scales: Sequence[int] = DEFAULT_SCALES
     save_prediction_maps: bool = True
+    # "window": reference-parity multi-scale sliding-window softmax voting.
+    # "dense": TPU-native blockwise whole-tile forward (one forward per
+    # pixel, full receptive field, ~20x less compute; exact via halo).
+    mode: str = "window"
+    dense_block: int = 256
+    # Must be >= the net's receptive-field radius (~34 rate6, ~37 rate8).
+    dense_halo: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,7 +58,8 @@ class Inferencer:
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.scales = [int(s) for s in cfg.infer.scales]
-        self.pad = max(self.scales)
+        # Pad covers both window context and the dense-mode halo.
+        self.pad = max(max(self.scales), cfg.infer.dense_halo)
         self.tiles = tiles
         self.padded = mirror_pad(tiles, self.pad)
         self.images = jax.device_put(self.padded.images)
@@ -69,6 +70,11 @@ class Inferencer:
             self._accumulate_impl,
             static_argnames=("size",),
             donate_argnames=("prob", "cnt"),
+        )
+        self._dense = jax.jit(
+            self._dense_impl,
+            static_argnames=("block", "halo"),
+            donate_argnames=("prob",),
         )
 
     # ------------------------------------------------------------------ #
@@ -128,14 +134,99 @@ class Inferencer:
         return prob, cnt
 
     # ------------------------------------------------------------------ #
+    def _dense_impl(
+        self,
+        variables,
+        tile: jnp.ndarray,  # (Hp, Wp, C) padded tile (raw values)
+        prob: jnp.ndarray,  # (Hp, Wp, nc) output buffer (donated)
+        starts: jnp.ndarray,  # (NB, 2) int32 block top-left (padded coords)
+        *,
+        block: int,
+        halo: int,
+    ) -> jnp.ndarray:
+        """Dense whole-tile inference: ONE forward per pixel. The nets are
+        fully convolutional, so a blockwise forward with a halo >= the
+        receptive-field radius reproduces the whole-tile forward exactly —
+        the TPU-native fast path (~20x less compute than 5-scale window
+        voting). Blocks may overlap; overlapping pixels recompute the SAME
+        values (halo guarantees it), so plain overwrite is race-free."""
+        c = tile.shape[-1]
+        ext = block + 2 * halo
+
+        def body(prob, st):
+            r0, c0 = st[0], st[1]
+            patch = jax.lax.dynamic_slice(
+                tile, (r0 - halo, c0 - halo, 0), (ext, ext, c)
+            )
+            patch = (patch - self.mean) / self.std
+            logits = self.model.apply(variables, patch[None], train=False)[0]
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            center = probs[halo : halo + block, halo : halo + block]
+            prob = jax.lax.dynamic_update_slice(prob, center, (r0, c0, 0))
+            return prob, None
+
+        prob, _ = jax.lax.scan(body, prob, starts)
+        return prob
+
+    def predict_tile_dense(
+        self,
+        variables,
+        tile_idx: int,
+        block: int = 256,
+        halo: int = 40,
+        return_probs: bool = True,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Dense (single-context, full-receptive-field) prediction.
+        Returns (pred (h,w) int32, prob (h,w,nc) float32 or None) in VALID
+        coords. With return_probs=False only the uint8 argmax map leaves
+        the device — on remote TPUs the float probability map transfer
+        (4*nc bytes/px) dominates wall time, not the compute.
+
+        halo must be >= the network's receptive-field radius for exactness
+        (~34 px for rate6, ~37 for grsl_rate8; default 40) and <= the tile
+        mirror pad."""
+        assert halo <= self.pad, (halo, self.pad)
+        h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
+        Hp, Wp = self.padded.images.shape[1:3]
+        max_h = Hp - 2 * self.pad
+        max_w = Wp - 2 * self.pad
+        b_r = min(block, max_h)
+        b_c = min(block, max_w)
+        block_eff = max(8, min(b_r, b_c))
+
+        def starts_1d(extent: int) -> List[int]:
+            ss = list(range(self.pad, self.pad + max(1, extent - block_eff + 1), block_eff))
+            if ss[-1] + block_eff < self.pad + extent:
+                ss.append(self.pad + extent - block_eff)
+            return ss
+
+        starts = np.array(
+            [(r, c) for r in starts_1d(h) for c in starts_1d(w)], np.int32
+        )
+        prob = jnp.zeros((Hp, Wp, self.nc), jnp.float32)
+        prob = self._dense(
+            variables, self.images[tile_idx], prob, jnp.asarray(starts),
+            block=block_eff, halo=halo,
+        )
+        valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
+        pred = np.asarray(
+            jnp.argmax(valid, axis=-1).astype(jnp.uint8)
+        ).astype(np.int32)
+        prob_np = np.asarray(valid) if return_probs else None
+        return pred, prob_np
+
+    # ------------------------------------------------------------------ #
     def predict_tile(
         self,
         variables,
         tile_idx: int,
         scales: Optional[Sequence[int]] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        return_probs: bool = True,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Softmax-vote prediction for one tile across all scales.
-        Returns (pred (h,w) int32, prob (h,w,nc) float32) in VALID coords."""
+        Returns (pred (h,w) int32, prob (h,w,nc) float32 or None) in VALID
+        coords (see predict_tile_dense on why return_probs=False is the
+        fast path on remote TPUs)."""
         scales = [int(s) for s in (scales or self.scales)]
         h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
         Hp, Wp = self.padded.images.shape[1:3]
@@ -171,10 +262,17 @@ class Inferencer:
                 size=s,
             )
 
-        prob_np = np.asarray(prob[self.pad : self.pad + h, self.pad : self.pad + w])
-        cnt_np = np.asarray(cnt[self.pad : self.pad + h, self.pad : self.pad + w, 0])
+        valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
+        pred = np.asarray(
+            jnp.argmax(valid, axis=-1).astype(jnp.uint8)
+        ).astype(np.int32)
+        if not return_probs:
+            return pred, None
+        prob_np = np.asarray(valid)
+        cnt_np = np.asarray(
+            cnt[self.pad : self.pad + h, self.pad : self.pad + w, 0]
+        )
         prob_np = prob_np / np.maximum(cnt_np[..., None], 1e-9)
-        pred = np.argmax(prob_np, axis=-1).astype(np.int32)
         return pred, prob_np
 
 
@@ -194,7 +292,13 @@ def validate_test(
     cm = np.zeros((nc, nc), np.int64)
     preds: List[np.ndarray] = []
     for t in range(test_tiles.num_tiles):
-        pred, _ = inf.predict_tile(variables, t, scales)
+        if cfg.infer.mode == "dense":
+            pred, _ = inf.predict_tile_dense(
+                variables, t, block=cfg.infer.dense_block,
+                halo=cfg.infer.dense_halo, return_probs=False,
+            )
+        else:
+            pred, _ = inf.predict_tile(variables, t, scales, return_probs=False)
         preds.append(pred)
         h, w = (int(x) for x in test_tiles.valid_hw[t])
         gt = test_tiles.masks[t, :h, :w]

@@ -80,12 +80,18 @@ def check_inference_mpx(big: int) -> float:
     model = build_model(cfg.model)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 25, 25, 3)))
     inf = Inferencer(cfg, ts)
-    inf.predict_tile(variables, 0)  # compile + warm
+    inf.predict_tile(variables, 0, return_probs=False)  # compile + warm
     t0 = time.perf_counter()
-    pred, prob = inf.predict_tile(variables, 0)
+    inf.predict_tile(variables, 0, return_probs=False)
     dt = time.perf_counter() - t0
     mpxs = big * big / dt / 1e6
-    print(f"inference {big}x{big}, 5 scales: {dt:.2f}s = {mpxs:.2f} Mpx/s", flush=True)
+    print(f"window inference {big}x{big}, 5 scales: {dt:.2f}s = {mpxs:.2f} Mpx/s", flush=True)
+
+    inf.predict_tile_dense(variables, 0, block=512, halo=40, return_probs=False)
+    t0 = time.perf_counter()
+    inf.predict_tile_dense(variables, 0, block=512, halo=40, return_probs=False)
+    dt = time.perf_counter() - t0
+    print(f"dense inference {big}x{big}: {dt:.2f}s = {big*big/dt/1e6:.2f} Mpx/s", flush=True)
     return mpxs
 
 

@@ -87,6 +87,43 @@ def test_overlap_add_matches_host_reference(rng):
     np.testing.assert_array_equal(pred, np.argmax(ref, axis=-1))
 
 
+def test_dense_mode_matches_whole_tile_forward(rng):
+    """Blockwise dense inference with halo >= receptive field must equal
+    the single whole-tile forward exactly (fully-convolutional nets)."""
+    cfg = cfg_for(scales=(16,))
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, dense_block=16, dense_halo=40)
+    )
+    ts = _tileset(rng, h=45, w=37)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    inf = Inferencer(cfg, ts)
+    pred, prob = inf.predict_tile_dense(variables, 0, block=16, halo=40)
+    assert pred.shape == (45, 37)
+
+    # whole-tile reference: same mirror pad, crop valid region
+    h, w = 45, 37
+    padded = np.asarray(inf.padded.images[0])
+    norm = (padded - ts.mean) / ts.std
+    logits = model.apply(variables, jnp.asarray(norm)[None], train=False)[0]
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    ref = probs[inf.pad : inf.pad + h, inf.pad : inf.pad + w]
+    np.testing.assert_allclose(prob, ref, atol=1e-5)
+
+
+def test_validate_test_dense_mode(rng):
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(
+            cfg.infer, mode="dense", dense_block=24, dense_halo=30)
+    )
+    ts = _tileset(rng, h=24, w=24)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    scores = validate_test(cfg, variables, ts, log=lambda *_: None)
+    assert int(scores["confusion"].sum()) == 24 * 24
+
+
 def test_multiscale_fusion_runs(rng):
     cfg = cfg_for(scales=(12, 16), window_batch=16)
     ts = _tileset(rng, h=30, w=30)
