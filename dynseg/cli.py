@@ -222,7 +222,8 @@ def run_training(cfg: Config, log=print) -> dict:
     log(f"training done; final scale distribution: {scheduler.summary()}")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    scores = validate_test(cfg, variables, test_tiles, log=log)
+    mesh = trainer.mesh if cfg.train.num_devices > 1 else None
+    scores = validate_test(cfg, variables, test_tiles, log=log, mesh=mesh)
     if cfg.infer.save_prediction_maps:
         from dynseg.viz import save_prediction_maps
         save_prediction_maps(
@@ -255,7 +256,9 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log)
+    mesh = trainer.mesh if cfg.train.num_devices > 1 else None
+    scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log,
+                           mesh=mesh)
     if cfg.infer.save_prediction_maps:
         from dynseg.viz import save_prediction_maps
         save_prediction_maps(

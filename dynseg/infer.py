@@ -54,7 +54,12 @@ def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[i
 class Inferencer:
     """Multi-scale overlap-add predictor over a packed, padded TileSet."""
 
-    def __init__(self, cfg: Config, tiles: TileSet):
+    def __init__(self, cfg: Config, tiles: TileSet,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        """mesh: optional 1-D device mesh (axis "data") for data-parallel
+        inference — window batches / dense blocks shard across chips (the
+        forwards, where the FLOPs are); the overlap-add runs replicated,
+        so every chip holds the full prediction at the end."""
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.scales = [int(s) for s in cfg.infer.scales]
@@ -62,10 +67,18 @@ class Inferencer:
         self.pad = max(max(self.scales), cfg.infer.dense_halo)
         self.tiles = tiles
         self.padded = mirror_pad(tiles, self.pad)
-        self.images = jax.device_put(self.padded.images)
-        self.mean = jax.device_put(tiles.mean)
-        self.std = jax.device_put(tiles.std)
+        self.mesh = mesh
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            self._repl = jax.sharding.NamedSharding(mesh, P())
+            self._shard_b = jax.sharding.NamedSharding(mesh, P(None, "data"))
+        else:
+            self._repl = self._shard_b = None
+        self.images = jax.device_put(self.padded.images, self._repl)
+        self.mean = jax.device_put(tiles.mean, self._repl)
+        self.std = jax.device_put(tiles.std, self._repl)
         self.nc = cfg.model.num_classes
+        self.n_dev = 1 if mesh is None else mesh.devices.size
         self._accumulate = jax.jit(
             self._accumulate_impl,
             static_argnames=("size",),
@@ -139,7 +152,7 @@ class Inferencer:
         variables,
         tile: jnp.ndarray,  # (Hp, Wp, C) padded tile (raw values)
         prob: jnp.ndarray,  # (Hp, Wp, nc) output buffer (donated)
-        starts: jnp.ndarray,  # (NB, 2) int32 block top-left (padded coords)
+        starts: jnp.ndarray,  # (NB, D, 2) int32 block corners (padded coords)
         *,
         block: int,
         halo: int,
@@ -149,20 +162,32 @@ class Inferencer:
         receptive-field radius reproduces the whole-tile forward exactly —
         the TPU-native fast path (~20x less compute than 5-scale window
         voting). Blocks may overlap; overlapping pixels recompute the SAME
-        values (halo guarantees it), so plain overwrite is race-free."""
+        values (halo guarantees it), so plain overwrite is race-free.
+
+        D blocks are processed per scan step (batched forward). Under a
+        mesh, D = #devices and the D axis is sharded: each chip forwards
+        its block, the replicated overwrite loop assembles the map."""
         c = tile.shape[-1]
         ext = block + 2 * halo
 
-        def body(prob, st):
-            r0, c0 = st[0], st[1]
-            patch = jax.lax.dynamic_slice(
-                tile, (r0 - halo, c0 - halo, 0), (ext, ext, c)
-            )
-            patch = (patch - self.mean) / self.std
-            logits = self.model.apply(variables, patch[None], train=False)[0]
+        def body(prob, st):  # st: (D, 2)
+            def cut(o):
+                patch = jax.lax.dynamic_slice(
+                    tile, (o[0] - halo, o[1] - halo, 0), (ext, ext, c)
+                )
+                return (patch - self.mean) / self.std
+
+            patches = jax.vmap(cut)(st)  # (D, ext, ext, C)
+            logits = self.model.apply(variables, patches, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            center = probs[halo : halo + block, halo : halo + block]
-            prob = jax.lax.dynamic_update_slice(prob, center, (r0, c0, 0))
+            centers = probs[:, halo : halo + block, halo : halo + block]
+
+            def write(i, prob):
+                return jax.lax.dynamic_update_slice(
+                    prob, centers[i], (st[i, 0], st[i, 1], 0)
+                )
+
+            prob = jax.lax.fori_loop(0, st.shape[0], write, prob)
             return prob, None
 
         prob, _ = jax.lax.scan(body, prob, starts)
@@ -203,9 +228,20 @@ class Inferencer:
         starts = np.array(
             [(r, c) for r in starts_1d(h) for c in starts_1d(w)], np.int32
         )
-        prob = jnp.zeros((Hp, Wp, self.nc), jnp.float32)
+        # Group D blocks per scan step (D = mesh size). Padding duplicates
+        # the last start — duplicate blocks recompute identical values, so
+        # the overwrite stays exact.
+        d = self.n_dev
+        n_pad = (-len(starts)) % d
+        if n_pad:
+            starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, 0)])
+        starts = starts.reshape(-1, d, 2)
+        starts_dev = jax.device_put(jnp.asarray(starts), self._shard_b)
+        prob = jax.device_put(
+            jnp.zeros((Hp, Wp, self.nc), jnp.float32), self._repl
+        )
         prob = self._dense(
-            variables, self.images[tile_idx], prob, jnp.asarray(starts),
+            variables, self.images[tile_idx], prob, starts_dev,
             block=block_eff, halo=halo,
         )
         valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
@@ -231,9 +267,15 @@ class Inferencer:
         h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
         Hp, Wp = self.padded.images.shape[1:3]
         tile = self.images[tile_idx]
-        prob = jnp.zeros((Hp, Wp, self.nc), jnp.float32)
-        cnt = jnp.zeros((Hp, Wp, 1), jnp.float32)
+        prob = jax.device_put(
+            jnp.zeros((Hp, Wp, self.nc), jnp.float32), self._repl
+        )
+        cnt = jax.device_put(
+            jnp.zeros((Hp, Wp, 1), jnp.float32), self._repl
+        )
         B = self.cfg.infer.window_batch
+        if self.n_dev > 1:
+            B = max(self.n_dev, B // self.n_dev * self.n_dev)
 
         for s in scales:
             stride = max(1, int(round(s * self.cfg.infer.stride_fraction)))
@@ -252,14 +294,16 @@ class Inferencer:
                 [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
             )
             nb = len(origins) // B
+            # Window batches shard over the mesh (axis 1 of (NB, B, 2)):
+            # the forwards parallelize, the overlap-add runs replicated.
+            origins_dev = jax.device_put(
+                jnp.asarray(origins.reshape(nb, B, 2)), self._shard_b
+            )
+            weights_dev = jax.device_put(
+                jnp.asarray(weights.reshape(nb, B)), self._shard_b
+            )
             prob, cnt = self._accumulate(
-                variables,
-                tile,
-                prob,
-                cnt,
-                jnp.asarray(origins.reshape(nb, B, 2)),
-                jnp.asarray(weights.reshape(nb, B)),
-                size=s,
+                variables, tile, prob, cnt, origins_dev, weights_dev, size=s
             )
 
         valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
@@ -282,12 +326,13 @@ def validate_test(
     test_tiles: TileSet,
     scales: Optional[Sequence[int]] = None,
     log=print,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Dict[str, object]:
     """Reference `validate_test` entry: predict every test tile with
     multi-scale fusion, report OA / kappa / per-class F1 / confusion
     ([R] dynamic.py:≈validate_test; SURVEY.md §3.2). Returns metrics plus
     per-tile prediction maps for export (C18)."""
-    inf = Inferencer(cfg, test_tiles)
+    inf = Inferencer(cfg, test_tiles, mesh=mesh)
     nc = cfg.model.num_classes
     cm = np.zeros((nc, nc), np.int64)
     preds: List[np.ndarray] = []

@@ -135,6 +135,35 @@ def test_multiscale_fusion_runs(rng):
     np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
 
 
+def test_multi_device_inference_matches_single(rng):
+    """DP inference over the 8-device virtual mesh must produce exactly
+    the single-device predictions (windows/blocks shard; overlap-add is
+    replicated)."""
+    import jax.sharding as shd
+
+    cfg = cfg_for(scales=(12, 16), window_batch=16)
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, dense_block=16, dense_halo=30)
+    )
+    ts = _tileset(rng, h=40, w=34)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    single = Inferencer(cfg, ts)
+    mesh = shd.Mesh(np.array(jax.devices()[:8]), ("data",))
+    multi = Inferencer(cfg, ts, mesh=mesh)
+
+    p1, pr1 = single.predict_tile(variables, 0)
+    p8, pr8 = multi.predict_tile(variables, 0)
+    np.testing.assert_array_equal(p1, p8)
+    np.testing.assert_allclose(pr1, pr8, atol=1e-5)
+
+    d1, dpr1 = single.predict_tile_dense(variables, 0, block=16, halo=30)
+    d8, dpr8 = multi.predict_tile_dense(variables, 0, block=16, halo=30)
+    np.testing.assert_array_equal(d1, d8)
+    np.testing.assert_allclose(dpr1, dpr8, atol=1e-5)
+
+
 def test_validate_test_reports_metrics(rng):
     cfg = cfg_for(scales=(12,), window_batch=16)
     ts = _tileset(rng, h=24, w=24)
