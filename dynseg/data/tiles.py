@@ -85,6 +85,19 @@ def compute_stats(ts: TileSet) -> Tuple[np.ndarray, np.ndarray]:
     return ts.mean, ts.std
 
 
+def storage_dtype(images: np.ndarray) -> np.dtype:
+    """uint8 when lossless (integer-valued imagery in [0,255] — typical
+    RS products), else float32. uint8 device storage quarters HBM
+    residency and gather-DMA traffic (full Potsdam fits on one chip)."""
+    if (
+        images.min() >= 0
+        and images.max() <= 255
+        and np.all(images == np.round(images))
+    ):
+        return np.dtype(np.uint8)
+    return np.dtype(np.float32)
+
+
 def mirror_pad(ts: TileSet, pad: int) -> TileSet:
     """Reflect-pad every tile by `pad` on each spatial side so patch centers
     anywhere in the valid area always have full context, and sliding windows

@@ -74,7 +74,10 @@ class Inferencer:
             self._shard_b = jax.sharding.NamedSharding(mesh, P(None, "data"))
         else:
             self._repl = self._shard_b = None
-        self.images = jax.device_put(self.padded.images, self._repl)
+        from dynseg.data.tiles import storage_dtype
+
+        sd = storage_dtype(self.padded.images)
+        self.images = jax.device_put(self.padded.images.astype(sd), self._repl)
         self.mean = jax.device_put(tiles.mean, self._repl)
         self.std = jax.device_put(tiles.std, self._repl)
         self.nc = cfg.model.num_classes
@@ -111,7 +114,7 @@ class Inferencer:
 
         def gather(o):
             w = jax.lax.dynamic_slice(tile, (o[0], o[1], 0), (size, size, c))
-            return (w - self.mean) / self.std
+            return (w.astype(jnp.float32) - self.mean) / self.std
 
         def batch_body(carry, xs):
             prob, cnt = carry
@@ -175,7 +178,7 @@ class Inferencer:
                 patch = jax.lax.dynamic_slice(
                     tile, (o[0] - halo, o[1] - halo, 0), (ext, ext, c)
                 )
-                return (patch - self.mean) / self.std
+                return (patch.astype(jnp.float32) - self.mean) / self.std
 
             patches = jax.vmap(cut)(st)  # (D, ext, ext, C)
             logits = self.model.apply(variables, patches, train=False)

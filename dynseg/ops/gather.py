@@ -103,7 +103,7 @@ def gather_batch(
         imgs, labs = jax.vmap(
             lambda p: _gather_one(images, masks, p, size)
         )(positions)
-        imgs = (imgs - mean) / std
+        imgs = (imgs.astype(jnp.float32) - mean) / std
     imgs = dihedral_batch(imgs, aug_ids)
-    labs = dihedral_batch(labs, aug_ids)
+    labs = dihedral_batch(labs.astype(jnp.int32), aug_ids)
     return imgs, labs

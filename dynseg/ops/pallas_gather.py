@@ -47,8 +47,15 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16 MB
 _LANE = 128
 
 
-def _rows_for(size: int) -> int:
-    return (size + 7) // 8 * 8 + 8
+def _row_tile(dtype) -> int:
+    """Sublane tile height: 8 for f32, 32 for (u)int8 — DMA offsets and
+    heights must be multiples of it."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
+
+
+def _rows_for(size: int, dtype=jnp.float32) -> int:
+    rt = _row_tile(dtype)
+    return (size + rt - 1) // rt * rt + rt
 
 
 def _lanes_for(span: int) -> int:
@@ -61,7 +68,7 @@ def pallas_gather_supported(
 ) -> bool:
     """Whether scratch + outputs for this gather fit the VMEM budget."""
     _, _, _, c = tile_shape
-    rows = _rows_for(size)
+    rows = _rows_for(size, jnp.uint8)  # worst-case (largest) slack
     scratch = _N_BUF * rows * _lanes_for(size * (c + 1)) * 4
     outputs = batch * size * size * (c + 1) * 4
     return scratch + outputs < _VMEM_BUDGET
@@ -84,12 +91,15 @@ def _gather_kernel(
     total_lanes: int,
 ):
     half = size // 2
-    rows = _rows_for(size)
+    dtype = comb_hbm.dtype
+    rt = _row_tile(dtype)
+    rows = _rows_for(size, dtype)
     lanes = _lanes_for(size * stride)
-    # Aligned-down starts stay <= the clamped value, so these bounds keep
-    # start + extent within the (slack-padded) array.
-    max_row0 = total_rows - rows
-    max_l0 = total_lanes - lanes
+    # The DMA start is the ALIGNED-DOWN offset, so a raw offset is safe up
+    # to (limit for the aligned start) + (tile - 1); clamping tighter
+    # would corrupt legitimate positions near the bottom/right edges.
+    max_row0 = total_rows - rows + rt - 1
+    max_l0 = total_lanes - lanes + _LANE - 1
 
     def offsets(b):
         # Clamp to the DMA-safe ranges: this kernel reads raw HBM
@@ -98,7 +108,7 @@ def _gather_kernel(
         # Clamped garbage positions return garbage data, never a crash.
         row0 = pos_ref[b, 0] * tile_h + pos_ref[b, 1] - half
         row0 = jnp.clip(row0, 0, max_row0)
-        row_al = pl.multiple_of(row0 // 8 * 8, 8)
+        row_al = pl.multiple_of(row0 // rt * rt, rt)
         l0 = (pos_ref[b, 2] - half) * stride
         l0 = jnp.clip(l0, 0, max_l0)
         l_al = pl.multiple_of(l0 // _LANE * _LANE, _LANE)
@@ -129,7 +139,13 @@ def _gather_kernel(
         # Un-shift rows (sublane roll) and lanes (dynamic rotate), then
         # keep the leading (s, s*(C+1)) block; residuals never wrap past
         # the extra lane/row tile, so wrapped values are never read.
+        # uint8 storage: the DMA moves bytes (4x less HBM traffic); the
+        # cast to f32 happens in VMEM before the rolls. Mosaic has no
+        # direct u8->f32 cast — widen to i32 first.
         band = scr[slot]
+        if band.dtype == jnp.uint8:
+            band = band.astype(jnp.int32)
+        band = band.astype(jnp.float32)
         band = pltpu.roll(band, rows - row_res, axis=0)
         band = pltpu.roll(band, lanes - lane_res, axis=1)
         out_ref[b] = (
@@ -152,16 +168,17 @@ def pallas_gather_batch(
     """(B,s,s,C) normalized image patches + (B,s,s) label patches."""
     b = positions.shape[0]
     t, h, w, c = images.shape
+    storage = images.dtype if images.dtype == jnp.uint8 else jnp.float32
+    rows = _rows_for(size, storage)
     stride = c + 1
-    rows = _rows_for(size)
     lanes = _lanes_for(size * stride)
-    # Interleave the label plane as channel C. Exact for ids < 2^24
-    # (IGNORE_LABEL=255 included). Loop-invariant: XLA hoists this out of
-    # the train-step scan, and in steady state it is built once.
+    # Interleave the label plane as channel C (exact: label ids and uint8
+    # pixels are both representable; f32 storage is exact below 2^24).
+    # Loop-invariant: XLA hoists this out of the train-step scan.
     comb = jnp.concatenate(
-        [images, masks[..., None].astype(jnp.float32)], axis=-1
+        [images.astype(storage), masks[..., None].astype(storage)], axis=-1
     )
-    row_slack = rows - size + 7  # aligned-down start + height overshoot
+    row_slack = rows - size + _row_tile(storage) - 1
     lane_slack = (w * stride // _LANE * _LANE + lanes) - w * stride
     comb2d = jnp.pad(
         comb.reshape(t * h, w * stride), ((0, row_slack), (0, lane_slack))
@@ -184,7 +201,7 @@ def pallas_gather_batch(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_N_BUF, rows, lanes), jnp.float32),
+            pltpu.VMEM((_N_BUF, rows, lanes), storage),
             pltpu.SemaphoreType.DMA((_N_BUF,)),
         ],
     )

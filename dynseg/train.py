@@ -117,9 +117,15 @@ class Trainer:
         self.batch_sharded = jax.sharding.NamedSharding(mesh, P("data"))
 
         # Device-resident tiles (replicated: every chip gathers its own
-        # batch shard locally — no patch traffic over ICI).
-        self.images = jax.device_put(padded.images, self.repl)
-        self.masks = jax.device_put(padded.masks, self.repl)
+        # batch shard locally — no patch traffic over ICI). uint8 storage
+        # when lossless: 4x less HBM + gather-DMA traffic.
+        from dynseg.data.tiles import storage_dtype
+
+        sd = storage_dtype(padded.images)
+        self.images = jax.device_put(padded.images.astype(sd), self.repl)
+        self.masks = jax.device_put(
+            padded.masks.astype(np.uint8), self.repl
+        )
         self.mean = jax.device_put(padded.mean, self.repl)
         self.std = jax.device_put(padded.std, self.repl)
 
@@ -293,10 +299,13 @@ class Trainer:
 
     def put_tiles(self, tiles: TileSet, pad: Optional[int] = None):
         """Mirror-pad + device-put a tile set for eval_crops."""
+        from dynseg.data.tiles import storage_dtype
+
         padded = mirror_pad(tiles, self.pad if pad is None else pad)
+        sd = storage_dtype(padded.images)
         return (
-            jax.device_put(padded.images, self.repl),
-            jax.device_put(padded.masks, self.repl),
+            jax.device_put(padded.images.astype(sd), self.repl),
+            jax.device_put(padded.masks.astype(np.uint8), self.repl),
             jax.device_put(padded.mean, self.repl),
             jax.device_put(padded.std, self.repl),
         ), padded

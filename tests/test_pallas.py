@@ -90,3 +90,41 @@ def test_vmem_budget_guard():
     # tiny config fits; absurd batch does not
     assert pallas_gather_supported((4, 300, 300, 3), 25, 100)
     assert not pallas_gather_supported((4, 300, 300, 3), 65, 100000)
+
+
+def test_pallas_gather_uint8_storage(rng):
+    """uint8 device tiles (lossless integer imagery): pallas and XLA
+    paths agree, and values match the float pipeline exactly."""
+    T, H, W, C = 2, 60, 56, 3
+    images_u8 = rng.integers(0, 256, (T, H, W, C)).astype(np.uint8)
+    images_f32 = images_u8.astype(np.float32)
+    masks = rng.integers(0, 4, (T, H, W)).astype(np.uint8)
+    mean = images_f32.mean((0, 1, 2)).astype(np.float32)
+    std = images_f32.std((0, 1, 2)).astype(np.float32)
+    size, B = 9, 12
+    half = size // 2
+    pos = np.stack(
+        [rng.integers(0, T, B),
+         rng.integers(half, H - size + half, B),
+         rng.integers(half, W - size + half, B)], 1).astype(np.int32)
+    aug = rng.integers(0, 8, B).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ip, lp = gather_batch(images_u8, masks, mean, std, pos, aug, size,
+                              use_pallas=True)
+    ij, lj = gather_batch(images_u8, masks, mean, std, pos, aug, size,
+                          use_pallas=False)
+    if32, lf32 = gather_batch(images_f32, masks.astype(np.int32), mean, std,
+                              pos, aug, size, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(ij), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(if32), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lp), np.asarray(lj))
+    np.testing.assert_array_equal(np.asarray(lp), np.asarray(lf32))
+
+
+def test_storage_dtype_selection(rng):
+    from dynseg.data.tiles import storage_dtype
+
+    assert storage_dtype(np.array([[0.0, 255.0]])) == np.uint8
+    assert storage_dtype(np.array([[0.5, 12.0]])) == np.float32
+    assert storage_dtype(np.array([[-1.0, 3.0]])) == np.float32
+    assert storage_dtype(np.array([[0.0, 256.0]])) == np.float32
