@@ -50,6 +50,29 @@ def check_gather_parity() -> None:
         print(f"gather parity s={s}: OK", flush=True)
 
 
+def check_gather_parity_uint8() -> None:
+    rng = np.random.default_rng(1)
+    T, H, W, C = 2, 60, 56, 3
+    images = jax.device_put(rng.integers(0, 256, (T, H, W, C)).astype(np.uint8))
+    masks = jax.device_put(rng.integers(0, 4, (T, H, W)).astype(np.uint8))
+    mean = jax.device_put(np.full(C, 127.0, np.float32))
+    std = jax.device_put(np.full(C, 60.0, np.float32))
+    for s in (9, 25):
+        half = s // 2
+        B = 16
+        pos = np.stack(
+            [rng.integers(0, T, B),
+             rng.integers(half, H - s + half, B),
+             rng.integers(half, W - s + half, B)], 1).astype(np.int32)
+        pos[0] = [T - 1, H - s + half, W - s + half]  # clamp-fix edge case
+        aug = rng.integers(0, 8, B).astype(np.int32)
+        ip, lp = gather_batch(images, masks, mean, std, pos, aug, s, use_pallas=True)
+        ij, lj = gather_batch(images, masks, mean, std, pos, aug, s, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(ij), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(lj))
+        print(f"uint8 gather parity s={s}: OK", flush=True)
+
+
 def check_train_smoke() -> None:
     cfg = Config(
         model=ModelConfig(net_type="dilated_icpr_rate6", num_classes=2),
@@ -102,6 +125,7 @@ if __name__ == "__main__":
     enable_compilation_cache()
     print("platform:", jax.devices()[0].platform, flush=True)
     check_gather_parity()
+    check_gather_parity_uint8()
     check_train_smoke()
     check_inference_mpx(args.big_tile)
     print("ALL TPU CHECKS PASSED")
