@@ -1,0 +1,65 @@
+"""Coffee 5-fold cross-county protocol driver (SURVEY.md C2a / §4).
+
+The reference reports fold-averaged metrics for the Brazilian Coffee
+dataset; its CLI runs one fold per invocation. This driver runs all
+folds (training + validate_test each) and aggregates mean +- std of
+OA / kappa / mean-F1 into folds_summary.json.
+
+Usage: python scripts/run_folds.py --dataset coffee --dataset_path ... \
+           --output_path /out [--folds 5] [any dynseg CLI flag...]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--output_path", required=True)
+    args, passthrough = ap.parse_known_args(argv)
+
+    from dynseg.cli import build_argparser, config_from_args, run_training
+    from dynseg.utils.logging import MetricLogger
+
+    results = []
+    for fold in range(args.folds):
+        out = os.path.join(args.output_path, f"fold{fold}")
+        cli_args = build_argparser().parse_args(
+            ["--operation", "training", "--output_path", out,
+             "--fold", str(fold)] + passthrough
+        )
+        cfg = config_from_args(cli_args)
+        logger = MetricLogger(out)
+        logger.log(f"=== fold {fold}/{args.folds} ===")
+        scores = run_training(cfg, log=logger)
+        logger.close()
+        results.append(
+            {"fold": fold, "oa": scores["oa"], "kappa": scores["kappa"],
+             "mean_f1": scores["mean_f1"],
+             "f1": list(map(float, scores["f1"]))}
+        )
+
+    summary = {
+        "folds": results,
+        "oa_mean": float(np.mean([r["oa"] for r in results])),
+        "oa_std": float(np.std([r["oa"] for r in results])),
+        "kappa_mean": float(np.mean([r["kappa"] for r in results])),
+        "mean_f1_mean": float(np.mean([r["mean_f1"] for r in results])),
+        "mean_f1_std": float(np.std([r["mean_f1"] for r in results])),
+    }
+    path = os.path.join(args.output_path, "folds_summary.json")
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""CLI surface tests: the reference-compatible flags parse into the
+expected Config (SURVEY.md C1) — regression fence for the public API."""
+
+import pytest
+
+from dynseg.cli import build_argparser, config_from_args, parse_values
+
+
+def _cfg(extra):
+    args = build_argparser().parse_args(["--operation", "training"] + extra)
+    return config_from_args(args)
+
+
+def test_reference_flags_roundtrip():
+    cfg = _cfg([
+        "--dataset", "vaihingen", "--dataset_path", "/data/v",
+        "--net_type", "dilated_grsl_rate8", "--learning_rate", "0.02",
+        "--weight_decay", "1e-3", "--batch_size", "64", "--niter", "1234",
+        "--distribution_type", "uniform", "--values", "25,45,65",
+        "--update_type", "loss", "--fold", "3",
+    ])
+    assert cfg.data.dataset == "vaihingen" and cfg.data.fold == 3
+    assert cfg.model.net_type == "dilated_grsl_rate8"
+    assert cfg.model.num_classes == 6  # from dataset table
+    assert cfg.train.learning_rate == 0.02
+    assert cfg.train.weight_decay == 1e-3
+    assert cfg.train.batch_size == 64 and cfg.train.niter == 1234
+    assert cfg.sched.distribution_type == "uniform"
+    assert tuple(cfg.sched.values) == (25, 45, 65)
+    assert cfg.sched.update_type == "loss"
+    assert tuple(cfg.infer.scales) == (25, 45, 65)  # default = train values
+
+
+def test_new_framework_flags():
+    cfg = _cfg([
+        "--steps_per_call", "8", "--num_devices", "4",
+        "--compute_dtype", "bfloat16", "--rescale_batch_by_area",
+        "--inference_mode", "dense", "--dense_block", "512",
+        "--dense_halo", "48", "--test_scales", "35,55",
+        "--no_augment", "--no_balanced_sampling",
+    ])
+    assert cfg.train.steps_per_call == 8
+    assert cfg.train.num_devices == 4
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.train.rescale_batch_by_area
+    assert cfg.infer.mode == "dense"
+    assert cfg.infer.dense_block == 512 and cfg.infer.dense_halo == 48
+    assert tuple(cfg.infer.scales) == (35, 55)
+    assert not cfg.data.augment and not cfg.data.balanced_sampling
+
+
+def test_parse_values():
+    assert parse_values("25,35, 45") == [25, 35, 45]
+    assert parse_values([25, 35]) == [25, 35]
+    with pytest.raises(ValueError):
+        parse_values("abc")
+
+
+def test_operation_synonyms():
+    for op in ("testing", "validate_test"):
+        args = build_argparser().parse_args(["--operation", op])
+        assert args.operation == op
+
+
+def test_invalid_choices_rejected():
+    for bad in (["--dataset", "nope"], ["--net_type", "resnet"],
+                ["--distribution_type", "zipf"]):
+        with pytest.raises(SystemExit):
+            build_argparser().parse_args(["--operation", "training"] + bad)
