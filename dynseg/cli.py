@@ -34,7 +34,13 @@ from dynseg.data.datasets import NUM_CLASSES, load_dataset
 def parse_values(s) -> List[int]:
     if isinstance(s, (list, tuple)):
         return [int(v) for v in s]
-    return [int(v) for v in str(s).replace(" ", "").split(",") if v]
+    try:
+        return [int(v) for v in str(s).replace(" ", "").split(",") if v]
+    except ValueError:
+        raise ValueError(
+            f"--values must be comma-separated patch sizes (e.g. "
+            f"'25,35,45,55,65'), got {s!r}"
+        ) from None
 
 
 def build_argparser() -> argparse.ArgumentParser:
