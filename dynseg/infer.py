@@ -281,7 +281,9 @@ class Inferencer:
             B = max(self.n_dev, B // self.n_dev * self.n_dev)
 
         for s in scales:
-            stride = max(1, int(round(s * self.cfg.infer.stride_fraction)))
+            # Clamp to the window size: a larger stride would leave
+            # zero-vote holes between windows (silent class-0 pixels).
+            stride = min(s, max(1, int(round(s * self.cfg.infer.stride_fraction))))
             rows = window_origins(self.pad, self.pad + h, s, stride, Hp - s)
             cols = window_origins(self.pad, self.pad + w, s, stride, Wp - s)
             origins = np.array(

@@ -135,6 +135,18 @@ def test_multiscale_fusion_runs(rng):
     np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
 
 
+def test_stride_fraction_above_one_has_no_holes(rng):
+    """stride > window would leave zero-vote pixels; the stride is clamped
+    so every pixel gets at least one vote."""
+    cfg = cfg_for(scales=(12,), stride_fraction=3.0)
+    ts = _tileset(rng, h=40, w=40)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    inf = Inferencer(cfg, ts)
+    _, prob = inf.predict_tile(variables, 0)
+    np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)  # votes everywhere
+
+
 def test_multi_device_inference_matches_single(rng):
     """DP inference over the 8-device virtual mesh must produce exactly
     the single-device predictions (windows/blocks shard; overlap-add is
