@@ -18,7 +18,7 @@ class-distribution helpers.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List
 
 import numpy as np
 

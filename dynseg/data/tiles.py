@@ -14,7 +14,7 @@ compute_image_mean, normalize_images); SURVEY.md C2, C3, C14.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ host numpy — here the whole thing stays on device:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -111,10 +110,14 @@ class Inferencer:
         sequential overlap-add (the read-modify-write is ordered, so no
         scatter races — SURVEY.md §7 hard part 3)."""
         c = tile.shape[-1]
+        # One f32 conversion per launch: XLA's uint8 slice/convert path is
+        # pathologically slow per-window (uint8 storage is for HBM/DMA
+        # economy, not compute).
+        tile = tile.astype(jnp.float32)
 
         def gather(o):
             w = jax.lax.dynamic_slice(tile, (o[0], o[1], 0), (size, size, c))
-            return (w.astype(jnp.float32) - self.mean) / self.std
+            return (w - self.mean) / self.std
 
         def batch_body(carry, xs):
             prob, cnt = carry
@@ -172,13 +175,15 @@ class Inferencer:
         its block, the replicated overwrite loop assembles the map."""
         c = tile.shape[-1]
         ext = block + 2 * halo
+        # One f32 conversion per launch (see _accumulate_impl).
+        tile = tile.astype(jnp.float32)
 
         def body(prob, st):  # st: (D, 2)
             def cut(o):
                 patch = jax.lax.dynamic_slice(
                     tile, (o[0] - halo, o[1] - halo, 0), (ext, ext, c)
                 )
-                return (patch.astype(jnp.float32) - self.mean) / self.std
+                return (patch - self.mean) / self.std
 
             patches = jax.vmap(cut)(st)  # (D, ext, ext, C)
             logits = self.model.apply(variables, patches, train=False)

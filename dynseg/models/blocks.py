@@ -15,8 +15,6 @@ leaky_relu → stride-1 max-pool).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

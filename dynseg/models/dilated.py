@@ -16,7 +16,7 @@ paper's tables as surveyed:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -23,7 +23,7 @@ paper's reading); False inverts to spend steps on struggling contexts.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

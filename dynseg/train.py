@@ -21,7 +21,6 @@ TPU-first design, not a translation of the reference's tf.Session loop:
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Dict, Optional, Tuple
 
