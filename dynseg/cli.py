@@ -80,6 +80,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_balanced_sampling", action="store_true")
+    p.add_argument("--max_positions_per_class", type=int, default=0,
+                   help="cap per-class patch-center tables (0 = all pixels); "
+                        "bounds host RAM on production-size label volumes")
     p.add_argument("--rescale_batch_by_area", action="store_true")
     p.add_argument("--stride_fraction", type=float, default=0.5)
     p.add_argument("--window_batch", type=int, default=128)
@@ -149,6 +152,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dataset_path=args.dataset_path,
             fold=args.fold,
             balanced_sampling=not args.no_balanced_sampling,
+            max_positions_per_class=args.max_positions_per_class,
             augment=not args.no_augment,
         ),
     )

@@ -132,6 +132,10 @@ class DataConfig:
     fold: int = 0
     # Per-class balanced sampling of patch centers (SURVEY.md C4).
     balanced_sampling: bool = True
+    # Cap each class's position table to a random subsample (0 = all
+    # labeled pixels). Bounds host RAM on production-size label volumes
+    # (12 bytes/position; full Potsdam ~8.6 GB uncapped).
+    max_positions_per_class: int = 0
     # Random 90-degree rotations + flips (the 8-element dihedral group),
     # applied identically to image and label patches (SURVEY.md C5).
     augment: bool = True

@@ -41,7 +41,14 @@ class BalancedPatchSampler:
         seed: int = 0,
         balanced: bool = True,
         use_native: bool = True,
+        max_positions_per_class: int = 0,
     ):
+        """max_positions_per_class: if > 0, cap each class table to a
+        random subsample of that many centers (12 bytes/position — the
+        full table for a Potsdam-size set is ~8.6 GB of host RAM; a few
+        million positions per class are statistically equivalent for
+        training). The subsample is drawn once per sampler; epoch
+        reshuffles permute within it."""
         self.tiles = tiles
         self.num_classes = num_classes
         self.pad = pad
@@ -63,6 +70,13 @@ class BalancedPatchSampler:
                 tables.append(
                     np.stack([t, r, cc], axis=1).astype(np.int32)
                 )
+        if max_positions_per_class > 0:
+            for c in range(num_classes):
+                if len(tables[c]) > max_positions_per_class:
+                    idx = self.rng.choice(
+                        len(tables[c]), max_positions_per_class, replace=False
+                    )
+                    tables[c] = np.ascontiguousarray(tables[c][idx])
         self.tables = tables
         counts = np.array([len(t) for t in tables])
         self.present = np.nonzero(counts > 0)[0]

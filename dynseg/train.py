@@ -103,6 +103,7 @@ class Trainer:
             pad=self.pad,
             seed=cfg.train.seed,
             balanced=cfg.data.balanced_sampling,
+            max_positions_per_class=cfg.data.max_positions_per_class,
         )
 
         if mesh is None:
@@ -154,6 +155,10 @@ class Trainer:
     def _chunk_impl(
         self,
         state: TrainState,
+        images: jnp.ndarray,  # tiles passed as ARGUMENTS, never closed
+        masks: jnp.ndarray,  # over: closures embed arrays as constants in
+        mean: jnp.ndarray,  # the compile payload (a production tile set
+        std: jnp.ndarray,  # overflows the remote compiler's request limit)
         positions: jnp.ndarray,  # (K, B, 3) — K steps fused in ONE launch
         aug_ids: jnp.ndarray,  # (K, B)
         dropout_rngs: jax.Array,  # (K,) keys
@@ -174,12 +179,15 @@ class Trainer:
             # inside loop bodies (60x slower there), and a bare step is
             # identical math.
             return self._step_impl(
-                state, positions[0], aug_ids[0], dropout_rngs[0], size
+                state, images, masks, mean, std,
+                positions[0], aug_ids[0], dropout_rngs[0], size,
             )
 
         def body(st, xs):
             pos, aug, rng = xs
-            return self._step_impl(st, pos, aug, rng, size)
+            return self._step_impl(
+                st, images, masks, mean, std, pos, aug, rng, size
+            )
 
         state, ms = jax.lax.scan(body, state, (positions, aug_ids, dropout_rngs))
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
@@ -187,13 +195,17 @@ class Trainer:
     def _step_impl(
         self,
         state: TrainState,
+        images: jnp.ndarray,
+        masks: jnp.ndarray,
+        mean: jnp.ndarray,
+        std: jnp.ndarray,
         positions: jnp.ndarray,
         aug_ids: jnp.ndarray,
         dropout_rng: jax.Array,
         size: int,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         imgs, labs = gather_batch(
-            self.images, self.masks, self.mean, self.std, positions, aug_ids, size
+            images, masks, mean, std, positions, aug_ids, size
         )
 
         def loss_fn(params):
@@ -279,7 +291,10 @@ class Trainer:
         k = self.cfg.train.steps_per_call
         pos, aug_ids = self.make_batch_inputs(size, k=k)
         rngs = jax.random.split(dropout_rng, k)
-        return self._train_step(state, pos, aug_ids, rngs, size=size)
+        return self._train_step(
+            state, self.images, self.masks, self.mean, self.std,
+            pos, aug_ids, rngs, size=size,
+        )
 
     def eval_crops(
         self,
@@ -337,7 +352,10 @@ class Trainer:
             aug = jax.device_put(np.zeros((k, b), np.int32), chunk_sharded)
             rngs = jax.random.split(rng, k)
             scratch = jax.tree.map(jnp.copy, state)  # donated by the call
-            _, metrics = self._train_step(scratch, pos, aug, rngs, size=s)
+            _, metrics = self._train_step(
+                scratch, self.images, self.masks, self.mean, self.std,
+                pos, aug, rngs, size=s,
+            )
             jax.block_until_ready(metrics["loss"])
             times[s] = time.perf_counter() - t0
         return times

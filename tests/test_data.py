@@ -54,6 +54,20 @@ def test_balanced_sampler_class_counts(synthetic_data):
     assert (labels != IGNORE_LABEL).all()
 
 
+def test_sampler_position_cap(synthetic_data):
+    train, _ = synthetic_data
+    padded = mirror_pad(train, 8)
+    s = BalancedPatchSampler(
+        padded, 2, pad=8, seed=0, max_positions_per_class=500
+    )
+    assert all(len(t) <= 500 for t in s.tables)
+    pos = s.sample(200)
+    labels = padded.masks[pos[:, 0], pos[:, 1], pos[:, 2]]
+    assert (labels != IGNORE_LABEL).all()
+    counts = np.bincount(labels, minlength=2)
+    assert abs(int(counts[0]) - int(counts[1])) <= 2
+
+
 def test_sampler_epoch_cycling():
     ims = [np.zeros((6, 6, 1), np.float32)]
     mks = [np.zeros((6, 6), np.int32)]
