@@ -343,6 +343,12 @@ def validate_test(
     ([R] dynamic.py:≈validate_test; SURVEY.md §3.2). Returns metrics plus
     per-tile prediction maps for export (C18)."""
     inf = Inferencer(cfg, test_tiles, mesh=mesh)
+    if cfg.infer.mode == "dense":
+        log(
+            "NOTE: dense mode is a whole-tile estimator; patch-trained "
+            "models expect zero-padding context (receptive field > patch), "
+            "so accuracy may differ from reference-parity window voting."
+        )
     nc = cfg.model.num_classes
     cm = np.zeros((nc, nc), np.int64)
     preds: List[np.ndarray] = []

@@ -94,6 +94,18 @@ class Trainer:
         self.scales = [int(v) for v in cfg.sched.values]
         self.pad = max(self.scales) // 2 + 1
 
+        # Fail fast (before any multi-GB host work) if the tile set cannot
+        # possibly be device-resident even as uint8 (image C bytes/px +
+        # 1 label byte/px): ~16 GB/chip HBM minus activation headroom.
+        t, h, w, c = train_tiles.images.shape
+        min_bytes = t * (h + 2 * self.pad) * (w + 2 * self.pad) * (c + 1)
+        if min_bytes > 12 * 1024**3:
+            raise MemoryError(
+                f"tile set needs >= {min_bytes / 1e9:.1f} GB of device HBM "
+                f"even at uint8 storage; split the dataset across hosts or "
+                f"train per-region"
+            )
+
         # Mirror-pad once so any scheduled patch size centered on a valid
         # pixel stays in-bounds (SURVEY.md C14 + sampler contract).
         padded = mirror_pad(train_tiles, self.pad)
