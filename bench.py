@@ -51,16 +51,20 @@ train_tiles, _ = load_synthetic(seed=0, num_tiles=4, size=256)
 trainer = Trainer(cfg, train_tiles)
 state = trainer.init_state(jax.random.key(0))
 rng = jax.random.key(1)
-# warmup / compile
+# warmup / compile. NOTE: on the axon remote platform block_until_ready
+# can return before the work is done — a real value fetch is the only
+# honest sync (see docs/DESIGN.md "measurement rules").
 for _ in range(3):
     rng, dr = jax.random.split(rng)
     state, m = trainer.train_step(state, 25, dr)
-jax.block_until_ready(m["loss"])
+float(np.asarray(m["loss"]).sum())
 t0 = time.perf_counter()
 for _ in range(steps):
     rng, dr = jax.random.split(rng)
     state, m = trainer.train_step(state, 25, dr)
-jax.block_until_ready(m["loss"])
+# fetch a value that depends on the LAST step's params so the whole
+# step chain is forced, not just enqueued
+float(np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
 dt = time.perf_counter() - t0
 print("RESULT", json.dumps({{"patches_per_sec": batch * steps * spc / dt,
                              "platform": jax.devices()[0].platform}}))
