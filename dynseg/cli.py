@@ -99,6 +99,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "dense = blockwise whole-tile forward (~20x faster)")
     p.add_argument("--dense_block", type=int, default=256)
     p.add_argument("--dense_halo", type=int, default=40)
+    p.add_argument("--scan_chunk", type=int, default=8,
+                   help="window batches fused per device launch (static "
+                        "scan length; programs are tile-size independent)")
+    p.add_argument("--dense_scan_chunk", type=int, default=4)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler device trace here (XProf)")
@@ -146,6 +150,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             mode=args.inference_mode,
             dense_block=args.dense_block,
             dense_halo=args.dense_halo,
+            scan_chunk=args.scan_chunk,
+            dense_scan_chunk=args.dense_scan_chunk,
         ),
         data=DataConfig(
             dataset=args.dataset,

@@ -123,6 +123,14 @@ class InferConfig:
     dense_block: int = 256
     # Must be >= the net's receptive-field radius (~34 rate6, ~37 rate8).
     dense_halo: int = 40
+    # Window batches fused per device launch (a lax.scan of this static
+    # length). Fixed-size chunks make every compiled program independent
+    # of the tile size — a workload of many odd-sized tiles compiles ONE
+    # program per scale, not one per (tile-shape, scale) — while an async
+    # host loop over chunks (donated accumulators chain them) keeps the
+    # device saturated past the per-launch dispatch latency.
+    scan_chunk: int = 8
+    dense_scan_chunk: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,6 +14,11 @@ host numpy — here the whole thing stays on device:
     via a fori_loop of dynamic_update_slice adds (donated buffers — no
     reallocation per batch). This is the jnp overlap-add path; the Pallas
     K3 kernel is a drop-in upgrade behind the same interface.
+  * Batches are fused into fixed-size lax.scan chunks per launch, with an
+    async host loop over chunks: every compiled program is independent of
+    the tile size (one bulk + one tail program per scale — a many-tile
+    workload of odd sizes never recompiles), while the donated-buffer
+    chain keeps launches pipelined past the remote dispatch latency.
   * Ragged final batches are handled with zero-weight padding windows —
     never a dynamic shape.
 """
@@ -104,11 +109,11 @@ class Inferencer:
         *,
         size: int,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """ALL window batches of one (tile, scale) pair in ONE launch: an
-        outer lax.scan over batches (amortizes the ~10ms dispatch cost of
-        remote TPUs across the whole tile) around batched forward +
-        sequential overlap-add (the read-modify-write is ordered, so no
-        scatter races — SURVEY.md §7 hard part 3)."""
+        """A CHUNK of window batches in one launch: an outer lax.scan over
+        the chunk (amortizes the ~10ms dispatch cost of remote TPUs)
+        around batched forward + sequential overlap-add (the
+        read-modify-write is ordered, so no scatter races — SURVEY.md §7
+        hard part 3). The host loops chunks asynchronously."""
         c = tile.shape[-1]
         # One f32 conversion per launch: XLA's uint8 slice/convert path is
         # pathologically slow per-window (uint8 storage is for HBM/DMA
@@ -244,14 +249,29 @@ class Inferencer:
         if n_pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, 0)])
         starts = starts.reshape(-1, d, 2)
-        starts_dev = jax.device_put(jnp.asarray(starts), self._shard_b)
         prob = jax.device_put(
             jnp.zeros((Hp, Wp, self.nc), jnp.float32), self._repl
         )
-        prob = self._dense(
-            variables, self.images[tile_idx], prob, starts_dev,
-            block=block_eff, halo=halo,
-        )
+        # Fixed-size launch chunks (see predict_tile): two programs per
+        # (block, halo, D) shape, tile-size independent; async chain.
+        tile = self.images[tile_idx]
+        K = max(1, int(self.cfg.infer.dense_scan_chunk))
+        nb = len(starts)
+        bulk = (nb // K) * K
+        for lo in range(0, bulk, K):
+            starts_dev = jax.device_put(
+                jnp.asarray(starts[lo : lo + K]), self._shard_b
+            )
+            prob = self._dense(
+                variables, tile, prob, starts_dev, block=block_eff, halo=halo
+            )
+        for j in range(bulk, nb):
+            starts_dev = jax.device_put(
+                jnp.asarray(starts[j : j + 1]), self._shard_b
+            )
+            prob = self._dense(
+                variables, tile, prob, starts_dev, block=block_eff, halo=halo
+            )
         valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
         pred = np.asarray(
             jnp.argmax(valid, axis=-1).astype(jnp.uint8)
@@ -285,6 +305,7 @@ class Inferencer:
         if self.n_dev > 1:
             B = max(self.n_dev, B // self.n_dev * self.n_dev)
 
+        K = max(1, int(self.cfg.infer.scan_chunk))
         for s in scales:
             # Clamp to the window size: a larger stride would leave
             # zero-vote holes between windows (silent class-0 pixels).
@@ -304,17 +325,35 @@ class Inferencer:
                 [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]
             )
             nb = len(origins) // B
-            # Window batches shard over the mesh (axis 1 of (NB, B, 2)):
+            origins = origins.reshape(nb, B, 2)
+            weights = weights.reshape(nb, B)
+            # Fixed-size launch chunks (K scan steps) + single-step tail
+            # launches: exactly TWO programs per (scale, B) regardless of
+            # tile shape, and no sync between launches — the donated
+            # prob/cnt chain pipelines host dispatch under device compute.
+            # Window batches shard over the mesh (axis 1 of (K, B, 2)):
             # the forwards parallelize, the overlap-add runs replicated.
-            origins_dev = jax.device_put(
-                jnp.asarray(origins.reshape(nb, B, 2)), self._shard_b
-            )
-            weights_dev = jax.device_put(
-                jnp.asarray(weights.reshape(nb, B)), self._shard_b
-            )
-            prob, cnt = self._accumulate(
-                variables, tile, prob, cnt, origins_dev, weights_dev, size=s
-            )
+            bulk = (nb // K) * K
+            for lo in range(0, bulk, K):
+                origins_dev = jax.device_put(
+                    jnp.asarray(origins[lo : lo + K]), self._shard_b
+                )
+                weights_dev = jax.device_put(
+                    jnp.asarray(weights[lo : lo + K]), self._shard_b
+                )
+                prob, cnt = self._accumulate(
+                    variables, tile, prob, cnt, origins_dev, weights_dev, size=s
+                )
+            for j in range(bulk, nb):
+                origins_dev = jax.device_put(
+                    jnp.asarray(origins[j : j + 1]), self._shard_b
+                )
+                weights_dev = jax.device_put(
+                    jnp.asarray(weights[j : j + 1]), self._shard_b
+                )
+                prob, cnt = self._accumulate(
+                    variables, tile, prob, cnt, origins_dev, weights_dev, size=s
+                )
 
         valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
         pred = np.asarray(
