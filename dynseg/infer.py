@@ -224,6 +224,16 @@ class Inferencer:
         (~34 px for rate6, ~37 for grsl_rate8; default 40) and <= the tile
         mirror pad."""
         assert halo <= self.pad, (halo, self.pad)
+        return self._finish(
+            *self._dense_device(variables, tile_idx, block, halo),
+            return_probs=return_probs,
+        )
+
+    def _dense_device(self, variables, tile_idx: int, block: int, halo: int):
+        """Dense prediction left ON DEVICE (pred uint8, prob, cnt=None) —
+        lets validate_test pipeline tile t's map download under tile
+        t+1's compute (the fetch is ~1/3 of warm dense wall time on a
+        tunneled chip)."""
         h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
         Hp, Wp = self.padded.images.shape[1:3]
         max_h = Hp - 2 * self.pad
@@ -273,11 +283,20 @@ class Inferencer:
                 variables, tile, prob, starts_dev, block=block_eff, halo=halo
             )
         valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
-        pred = np.asarray(
-            jnp.argmax(valid, axis=-1).astype(jnp.uint8)
-        ).astype(np.int32)
-        prob_np = np.asarray(valid) if return_probs else None
-        return pred, prob_np
+        pred = jnp.argmax(valid, axis=-1).astype(jnp.uint8)
+        return pred, valid, None
+
+    @staticmethod
+    def _finish(pred, prob, cnt, return_probs: bool):
+        """Fetch device results to host (the sync point)."""
+        pred_np = np.asarray(pred).astype(np.int32)
+        if not return_probs:
+            return pred_np, None
+        prob_np = np.asarray(prob)
+        if cnt is not None:
+            cnt_np = np.asarray(cnt)
+            prob_np = prob_np / np.maximum(cnt_np[..., None], 1e-9)
+        return pred_np, prob_np
 
     # ------------------------------------------------------------------ #
     def predict_tile(
@@ -291,6 +310,14 @@ class Inferencer:
         Returns (pred (h,w) int32, prob (h,w,nc) float32 or None) in VALID
         coords (see predict_tile_dense on why return_probs=False is the
         fast path on remote TPUs)."""
+        return self._finish(
+            *self._window_device(variables, tile_idx, scales),
+            return_probs=return_probs,
+        )
+
+    def _window_device(self, variables, tile_idx: int,
+                       scales: Optional[Sequence[int]] = None):
+        """Window-voting prediction left ON DEVICE (see _dense_device)."""
         scales = [int(s) for s in (scales or self.scales)]
         h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
         Hp, Wp = self.padded.images.shape[1:3]
@@ -356,17 +383,9 @@ class Inferencer:
                 )
 
         valid = prob[self.pad : self.pad + h, self.pad : self.pad + w]
-        pred = np.asarray(
-            jnp.argmax(valid, axis=-1).astype(jnp.uint8)
-        ).astype(np.int32)
-        if not return_probs:
-            return pred, None
-        prob_np = np.asarray(valid)
-        cnt_np = np.asarray(
-            cnt[self.pad : self.pad + h, self.pad : self.pad + w, 0]
-        )
-        prob_np = prob_np / np.maximum(cnt_np[..., None], 1e-9)
-        return pred, prob_np
+        pred = jnp.argmax(valid, axis=-1).astype(jnp.uint8)
+        cnt_valid = cnt[self.pad : self.pad + h, self.pad : self.pad + w, 0]
+        return pred, valid, cnt_valid
 
 
 def validate_test(
@@ -391,14 +410,25 @@ def validate_test(
     nc = cfg.model.num_classes
     cm = np.zeros((nc, nc), np.int64)
     preds: List[np.ndarray] = []
-    for t in range(test_tiles.num_tiles):
+
+    def launch(t):
+        """Dispatch tile t's full prediction; returns a DEVICE pred map."""
         if cfg.infer.mode == "dense":
-            pred, _ = inf.predict_tile_dense(
+            pred, _, _ = inf._dense_device(
                 variables, t, block=cfg.infer.dense_block,
-                halo=cfg.infer.dense_halo, return_probs=False,
+                halo=cfg.infer.dense_halo,
             )
         else:
-            pred, _ = inf.predict_tile(variables, t, scales, return_probs=False)
+            pred, _, _ = inf._window_device(variables, t, scales)
+        return pred
+
+    # Pipeline: tile t+1's launches are enqueued before tile t's map is
+    # downloaded, so the (tunnel-bound) fetch overlaps device compute.
+    pending = launch(0) if test_tiles.num_tiles else None
+    for t in range(test_tiles.num_tiles):
+        nxt = launch(t + 1) if t + 1 < test_tiles.num_tiles else None
+        pred = np.asarray(pending).astype(np.int32)
+        pending = nxt
         preds.append(pred)
         h, w = (int(x) for x in test_tiles.valid_hw[t])
         gt = test_tiles.masks[t, :h, :w]
