@@ -135,6 +135,34 @@ def test_multiscale_fusion_runs(rng):
     np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("chunk", [1, 3, 1000])
+def test_scan_chunk_invariance(rng, chunk):
+    """Predictions must be identical for any launch-chunk size: chunk=1
+    (all single-step launches), a bulk+tail mix, and chunk >> batches
+    (all tail singles)."""
+    ts = _tileset(rng, h=40, w=34)
+    model = build_model(cfg_for(scales=(12,)).model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    results = []
+    for c in (8, chunk):
+        cfg = cfg_for(scales=(12, 16), window_batch=16)
+        cfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(
+                cfg.infer, scan_chunk=c, dense_scan_chunk=max(1, c // 2),
+                dense_block=16, dense_halo=30)
+        )
+        inf = Inferencer(cfg, ts)
+        pw, prw = inf.predict_tile(variables, 0)
+        pd, prd = inf.predict_tile_dense(variables, 0, block=16, halo=30)
+        results.append((pw, prw, pd, prd))
+    (pw1, prw1, pd1, prd1), (pw2, prw2, pd2, prd2) = results
+    np.testing.assert_array_equal(pw1, pw2)
+    np.testing.assert_allclose(prw1, prw2, atol=1e-6)
+    np.testing.assert_array_equal(pd1, pd2)
+    np.testing.assert_allclose(prd1, prd2, atol=1e-6)
+
+
 def test_stride_fraction_above_one_has_no_holes(rng):
     """stride > window would leave zero-vote pixels; the stride is clamped
     so every pixel gets at least one vote."""
