@@ -31,7 +31,8 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, it: int, state: TrainState, scheduler: ScaleScheduler) -> None:
+    def save(self, it: int, state: TrainState, scheduler: ScaleScheduler,
+             stats: Optional[dict] = None) -> None:
         sched_state = scheduler.state_dict()
         self.mgr.save(
             it,
@@ -41,6 +42,24 @@ class CheckpointManager:
             ),
         )
         self.mgr.wait_until_finished()
+        if stats is not None:
+            self.save_stats(stats)
+
+    def save_stats(self, stats: dict) -> None:
+        """Sidecar with everything `--operation predict` needs to run the
+        model on unlabeled imagery WITHOUT the training dataset: the
+        training normalization stats + input/output dims (the reference
+        has no such path — its normalization is recomputed from training
+        data at test time)."""
+        with open(os.path.join(self.dir, "stats.json"), "w") as f:
+            json.dump(_jsonable(stats), f, indent=2)
+
+    def load_stats(self) -> Optional[dict]:
+        path = os.path.join(self.dir, "stats.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return _unjsonable(json.load(f))
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
@@ -50,9 +69,19 @@ class CheckpointManager:
     ) -> Tuple[TrainState, int]:
         """Restore into a freshly-initialized state template (shapes/dtypes
         from trainer.init_state)."""
+        template = trainer.init_state(jax.random.key(0))
+        return self.restore_state(template, scheduler, step)
+
+    def restore_state(
+        self,
+        template: TrainState,
+        scheduler: Optional[ScaleScheduler] = None,
+        step: Optional[int] = None,
+    ) -> Tuple[TrainState, int]:
+        """Trainer-free restore (predict path: no training tiles needed —
+        build the template with train.init_state_template)."""
         step = self.latest_step() if step is None else step
         assert step is not None, f"no checkpoint under {self.dir}"
-        template = trainer.init_state(jax.random.key(0))
         restored = self.mgr.restore(
             step,
             args=ocp.args.Composite(
@@ -60,7 +89,8 @@ class CheckpointManager:
                 scheduler=ocp.args.JsonRestore(),
             ),
         )
-        scheduler.load_state_dict(_unjsonable(restored["scheduler"]))
+        if scheduler is not None:
+            scheduler.load_state_dict(_unjsonable(restored["scheduler"]))
         return restored["state"], step
 
 

@@ -50,8 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     # --- reference-compatible flags (SURVEY.md C1) ---
     p.add_argument("--operation", required=True,
-                   choices=["training", "testing", "validate_test"],
-                   help="training, or full-tile prediction (testing/validate_test are synonyms)")
+                   choices=["training", "testing", "validate_test", "predict"],
+                   help="training; full-tile prediction with metrics "
+                        "(testing/validate_test are synonyms); or predict = "
+                        "inference on unlabeled rasters (--predict_path)")
+    p.add_argument("--predict_path", default="",
+                   help="file or directory of rasters for --operation predict")
     p.add_argument("--dataset", default="synthetic", choices=cfgmod.DATASETS)
     p.add_argument("--dataset_path", default="")
     p.add_argument("--output_path", default="/tmp/dynseg_out")
@@ -190,6 +194,12 @@ def run_training(cfg: Config, log=print) -> dict:
     trainer = Trainer(cfg, train_tiles)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     ckpt = CheckpointManager(cfg.train.output_path)
+    ckpt.save_stats({
+        "mean": train_tiles.mean, "std": train_tiles.std,
+        "num_input_bands": cfg.model.num_input_bands,
+        "num_classes": cfg.model.num_classes,
+        "net_type": cfg.model.net_type,
+    })
 
     start_iter = 0
     if cfg.train.resume and ckpt.latest_step() is not None:
@@ -284,6 +294,77 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
     return scores
 
 
+def run_predict(cfg: Config, predict_path: str, log=print,
+                scales_from_scheduler: int = 0) -> List[str]:
+    """Production inference on UNLABELED rasters: restore the checkpoint
+    (model + training normalization stats from the stats sidecar — no
+    training dataset needed on disk) and write colorized prediction maps
+    named after the input files. Beyond-reference capability: the
+    reference can only predict tiles that ship with ground truth."""
+    import dataclasses as dc
+
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.data.datasets import load_unlabeled
+    from dynseg.infer import Inferencer
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+    from dynseg.viz import save_prediction_maps
+
+    ckpt = CheckpointManager(cfg.train.output_path)
+    stats = ckpt.load_stats()
+    if stats is None:
+        raise FileNotFoundError(
+            f"no stats.json under {ckpt.dir} — the checkpoint predates the "
+            f"predict path; re-save it by resuming training for one "
+            f"checkpoint interval, or use --operation validate_test with "
+            f"the original dataset"
+        )
+    if stats.get("net_type") not in (None, cfg.model.net_type):
+        raise ValueError(
+            f"checkpoint was trained with net_type={stats['net_type']!r}; "
+            f"pass --net_type {stats['net_type']}"
+        )
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model,
+        num_input_bands=int(stats["num_input_bands"]),
+        num_classes=int(stats["num_classes"]),
+    ))
+
+    tiles, names = load_unlabeled(predict_path)
+    if tiles.num_bands != cfg.model.num_input_bands:
+        raise ValueError(
+            f"rasters have {tiles.num_bands} bands but the checkpoint was "
+            f"trained on {cfg.model.num_input_bands}"
+        )
+    tiles.mean = np.asarray(stats["mean"], np.float32)
+    tiles.std = np.asarray(stats["std"], np.float32)
+
+    scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
+    log(f"restored checkpoint at iteration {step}")
+    scales = None
+    if scales_from_scheduler > 0:
+        scales = scheduler.best_scales(scales_from_scheduler)
+        log(f"scheduler-selected inference scales: {scales}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    inf = Inferencer(cfg, tiles)
+    paths = []
+    for t in range(tiles.num_tiles):
+        if cfg.infer.mode == "dense":
+            pred, _ = inf.predict_tile_dense(
+                variables, t, block=cfg.infer.dense_block,
+                halo=cfg.infer.dense_halo, return_probs=False)
+        else:
+            pred, _ = inf.predict_tile(variables, t, scales, return_probs=False)
+        paths += save_prediction_maps(
+            [pred], cfg.data.dataset, cfg.train.output_path,
+            names=[names[t]],
+        )
+        log(f"tile {names[t]}: {pred.shape[1]}x{pred.shape[0]} -> {paths[-1]}")
+    return paths
+
+
 def _write_scores(cfg: Config, scores: dict) -> None:
     out = {
         "oa": scores["oa"],
@@ -319,6 +400,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     with trace(args.profile_dir or None):
         if args.operation == "training":
             run_training(cfg, log=logger)
+        elif args.operation == "predict":
+            if not args.predict_path:
+                raise SystemExit("--operation predict requires --predict_path")
+            run_predict(cfg, args.predict_path, log=logger,
+                        scales_from_scheduler=args.scales_from_scheduler)
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler)

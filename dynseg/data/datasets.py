@@ -252,6 +252,33 @@ def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
     return train, test
 
 
+def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
+    """Production predict path: load raw rasters (no ground truth) from a
+    file or directory for `--operation predict`. Masks are all-IGNORE;
+    normalization stats must be supplied by the caller (from the
+    checkpoint's stats sidecar). Returns (tiles, source names)."""
+    exts = (".tif", ".tiff", ".png", ".jpg", ".jpeg", ".npy")
+    if os.path.isdir(path):
+        files = [
+            f for f in sorted(glob.glob(os.path.join(path, "*")))
+            if f.lower().endswith(exts)
+            and "mask" not in os.path.basename(f).lower()
+        ]
+    else:
+        files = [path] if os.path.exists(path) else []
+    if not files:
+        raise FileNotFoundError(f"no rasters ({'/'.join(exts)}) under {path!r}")
+    ims, mks = [], []
+    for f in files:
+        im = np.load(f) if f.endswith(".npy") else _read_image(f)
+        if im.ndim == 2:
+            im = im[..., None]
+        ims.append(im.astype(np.float32))
+        mks.append(np.full(im.shape[:2], IGNORE_LABEL, np.int32))
+    names = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    return pack_tiles(ims, mks), names
+
+
 LOADERS = {
     "coffee": load_coffee,
     "grss_dfc_2014": load_grss_dfc_2014,

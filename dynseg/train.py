@@ -47,6 +47,25 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def init_state_template(cfg: Config, rng: Optional[jax.Array] = None) -> TrainState:
+    """Freshly-initialized TrainState with the shapes/dtypes a checkpoint
+    of this config restores into. Standalone (no Trainer / no training
+    tiles) so the predict path can restore a model without the training
+    dataset on disk."""
+    model = build_model(cfg.model)
+    s0 = int(cfg.sched.values[0])
+    x = jnp.zeros((1, s0, s0, cfg.model.num_input_bands), jnp.float32)
+    variables = model.init(rng if rng is not None else jax.random.key(0),
+                           x, train=False)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=make_optimizer(cfg).init(params),
+    )
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Momentum SGD + L2 on conv kernels (SURVEY.md C11; lr/momentum/wd
     from the reference CLI flags)."""
@@ -150,18 +169,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def init_state(self, rng: jax.Array) -> TrainState:
-        s0 = self.scales[0]
-        x = jnp.zeros((1, s0, s0, self.cfg.model.num_input_bands), jnp.float32)
-        variables = self.model.init(rng, x, train=False)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", FrozenDict())
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-        )
-        return jax.device_put(state, self.repl)
+        return jax.device_put(init_state_template(self.cfg, rng), self.repl)
 
     # ------------------------------------------------------------------ #
     def _chunk_impl(

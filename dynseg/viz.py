@@ -19,6 +19,7 @@ def save_prediction_maps(
     dataset: str,
     output_path: str,
     prefix: str = "prediction",
+    names: Sequence[str] = (),
 ) -> list:
     from PIL import Image
 
@@ -28,7 +29,8 @@ def save_prediction_maps(
     for i, pred in enumerate(preds):
         safe = np.clip(pred, 0, len(palette) - 1)
         rgb = palette[safe]
-        p = os.path.join(output_path, f"{prefix}_{i}.png")
+        tag = names[i] if i < len(names) else str(i)
+        p = os.path.join(output_path, f"{prefix}_{tag}.png")
         Image.fromarray(rgb).save(p)
         paths.append(p)
     return paths

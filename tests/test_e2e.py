@@ -66,6 +66,66 @@ def test_checkpoint_restore_and_test_path(tmp_path):
     np.testing.assert_array_equal(s1["confusion"], s2["confusion"])
 
 
+def test_predict_on_unlabeled_rasters(tmp_path):
+    """--operation predict: restore from checkpoint + stats sidecar alone
+    (no training data) and predict raw rasters; predictions must equal the
+    validate_test maps for the same imagery."""
+    from PIL import Image
+
+    from dynseg.cli import run_predict
+    from dynseg.data.datasets import load_synthetic
+
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "12",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=12)
+    s1 = run_training(cfg, log=lambda *_: None)
+
+    # dump the test tiles as PNGs (synthetic values are in [0,255])
+    _, test_tiles = load_synthetic(seed=cfg.train.seed)
+    raw = tmp_path / "rasters"
+    raw.mkdir()
+    for t in range(test_tiles.num_tiles):
+        h, w = (int(x) for x in test_tiles.valid_hw[t])
+        im = np.asarray(test_tiles.images[t, :h, :w]).astype(np.uint8)
+        Image.fromarray(im).save(raw / f"area_{t}.png")
+
+    paths = run_predict(cfg, str(raw), log=lambda *_: None)
+    assert len(paths) == test_tiles.num_tiles
+    for t, p in enumerate(paths):
+        assert os.path.exists(p) and f"area_{t}" in p
+        # colorized map must decode back to the validate_test prediction
+        from dynseg.data.datasets import PALETTES
+        rgb = np.asarray(Image.open(p))
+        pal = PALETTES[cfg.data.dataset]
+        pred = np.full(rgb.shape[:2], -1, np.int32)
+        for cid, color in enumerate(pal):
+            pred[np.all(rgb == color, axis=-1)] = cid
+        ref = s1["predictions"][t]
+        agree = (pred == ref).mean()
+        assert agree > 0.999, agree
+
+
+def test_predict_errors_without_stats(tmp_path):
+    from dynseg.cli import run_predict
+
+    args = build_argparser().parse_args([
+        "--operation", "predict", "--predict_path", str(tmp_path),
+        "--output_path", str(tmp_path / "empty"),
+    ])
+    cfg = _shrink(config_from_args(args), niter=1)
+    with pytest.raises(FileNotFoundError, match="stats.json"):
+        run_predict(cfg, str(tmp_path), log=lambda *_: None)
+
+
 def test_trained_model_window_inference_accuracy():
     """End-to-end accuracy regression: a briefly-trained tiny model must
     reach high window-voting OA on the easy synthetic task.
