@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps fused per device launch (lax.scan); "
                         "1 = per-batch scheduler feedback like the reference")
+    p.add_argument("--metric_fetch_depth", type=int, default=4,
+                   help="scheduler-metric fetches trail this many launches "
+                        "(async copies hide the ~28ms/scalar tunnel "
+                        "round-trip); 1 = strictest reference-like feedback")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_balanced_sampling", action="store_true")
@@ -141,6 +145,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             eval_every=args.eval_every,
             checkpoint_every=args.checkpoint_every,
             steps_per_call=args.steps_per_call,
+            metric_fetch_depth=args.metric_fetch_depth,
             seed=args.seed,
             num_devices=args.num_devices,
             output_path=args.output_path,

@@ -97,6 +97,10 @@ class TrainConfig:
     # ~10 ms per-launch dispatch overhead of remote/tunneled TPUs
     # (scores then update once per chunk with chunk-mean metrics).
     steps_per_call: int = 1
+    # Scheduler-metric fetches trail this many launches behind (async
+    # device->host copies overlap compute; a scalar fetch is a full
+    # tunnel round-trip). 1 = reference-like one-step-stale feedback.
+    metric_fetch_depth: int = 4
     seed: int = 0
     # Data-parallel device count; 1 = single chip. The mesh axis is "data".
     num_devices: int = 1
