@@ -31,8 +31,7 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, it: int, state: TrainState, scheduler: ScaleScheduler,
-             stats: Optional[dict] = None) -> None:
+    def save(self, it: int, state: TrainState, scheduler: ScaleScheduler) -> None:
         sched_state = scheduler.state_dict()
         self.mgr.save(
             it,
@@ -42,8 +41,6 @@ class CheckpointManager:
             ),
         )
         self.mgr.wait_until_finished()
-        if stats is not None:
-            self.save_stats(stats)
 
     def save_stats(self, stats: dict) -> None:
         """Sidecar with everything `--operation predict` needs to run the

@@ -81,10 +81,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps fused per device launch (lax.scan); "
                         "1 = per-batch scheduler feedback like the reference")
-    p.add_argument("--metric_fetch_depth", type=int, default=4,
-                   help="scheduler-metric fetches trail this many launches "
-                        "(async copies hide the ~28ms/scalar tunnel "
-                        "round-trip); 1 = strictest reference-like feedback")
+    p.add_argument("--metric_fetch_depth", type=int, default=1,
+                   help="scheduler-metric fetches trail this many launches; "
+                        "1 (default) = reference-like one-step-stale scores, "
+                        "4 = hide the ~28ms/scalar tunnel round-trip entirely "
+                        "(2.4x faster loop at steps_per_call=1)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_balanced_sampling", action="store_true")
@@ -204,6 +205,7 @@ def run_training(cfg: Config, log=print) -> dict:
         "num_input_bands": cfg.model.num_input_bands,
         "num_classes": cfg.model.num_classes,
         "net_type": cfg.model.net_type,
+        "dataset": cfg.data.dataset,  # palette source for predict
     })
 
     start_iter = 0
@@ -353,18 +355,26 @@ def run_predict(cfg: Config, predict_path: str, log=print,
         log(f"scheduler-selected inference scales: {scales}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    # Colorize with the TRAINING dataset's palette (recorded in the
+    # sidecar) — the CLI --dataset default would silently collapse
+    # classes for multi-class checkpoints. Old sidecars lack the field.
+    palette_ds = stats.get("dataset") or cfg.data.dataset
+    if palette_ds != cfg.data.dataset and cfg.data.dataset != "synthetic":
+        log(f"note: using training palette {palette_ds!r} "
+            f"(CLI --dataset was {cfg.data.dataset!r})")
+
+    # Same fetch pipeline as validate_test: tile t's map downloads while
+    # tile t+1 computes.
     inf = Inferencer(cfg, tiles)
     paths = []
+    pending = inf.predict_tile_device(variables, 0, scales)
     for t in range(tiles.num_tiles):
-        if cfg.infer.mode == "dense":
-            pred, _ = inf.predict_tile_dense(
-                variables, t, block=cfg.infer.dense_block,
-                halo=cfg.infer.dense_halo, return_probs=False)
-        else:
-            pred, _ = inf.predict_tile(variables, t, scales, return_probs=False)
+        nxt = (inf.predict_tile_device(variables, t + 1, scales)
+               if t + 1 < tiles.num_tiles else None)
+        pred = np.asarray(pending).astype(np.int32)
+        pending = nxt
         paths += save_prediction_maps(
-            [pred], cfg.data.dataset, cfg.train.output_path,
-            names=[names[t]],
+            [pred], palette_ds, cfg.train.output_path, names=[names[t]],
         )
         log(f"tile {names[t]}: {pred.shape[1]}x{pred.shape[0]} -> {paths[-1]}")
     return paths
@@ -384,11 +394,15 @@ def _write_scores(cfg: Config, scores: dict) -> None:
 
 
 def enable_compilation_cache(path: str = "/tmp/dynseg_jax_cache") -> None:
-    """Persistent XLA compilation cache — re-runs skip the 45s-per-bucket
-    (remote) compiles entirely. Verified to work on the axon platform."""
+    """Persistent XLA compilation cache — re-runs load compiled
+    executables from disk (~0.2s) instead of paying remote compiles
+    (20s-3min each; the compile service also slows under sustained
+    load). Threshold 0.1s: the remote service has its own server-side
+    cache that can return a repeat compile in ~1s, which must still be
+    written locally or every process keeps paying that round-trip."""
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass  # older jax without the knobs — compile per run
 

@@ -262,7 +262,6 @@ def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
         files = [
             f for f in sorted(glob.glob(os.path.join(path, "*")))
             if f.lower().endswith(exts)
-            and "mask" not in os.path.basename(f).lower()
         ]
     else:
         files = [path] if os.path.exists(path) else []
@@ -270,7 +269,7 @@ def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
         raise FileNotFoundError(f"no rasters ({'/'.join(exts)}) under {path!r}")
     ims, mks = [], []
     for f in files:
-        im = np.load(f) if f.endswith(".npy") else _read_image(f)
+        im = np.load(f) if f.lower().endswith(".npy") else _read_image(f)
         if im.ndim == 2:
             im = im[..., None]
         ims.append(im.astype(np.float32))

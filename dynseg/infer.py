@@ -286,6 +286,21 @@ class Inferencer:
         pred = jnp.argmax(valid, axis=-1).astype(jnp.uint8)
         return pred, valid, None
 
+    def predict_tile_device(self, variables, tile_idx: int,
+                            scales: Optional[Sequence[int]] = None) -> jnp.ndarray:
+        """Dispatch one tile's full prediction per cfg.infer.mode and
+        return the DEVICE uint8 argmax map — callers pipeline the host
+        download under the next tile's compute (validate_test,
+        cli.run_predict)."""
+        if self.cfg.infer.mode == "dense":
+            pred, _, _ = self._dense_device(
+                variables, tile_idx, block=self.cfg.infer.dense_block,
+                halo=self.cfg.infer.dense_halo,
+            )
+        else:
+            pred, _, _ = self._window_device(variables, tile_idx, scales)
+        return pred
+
     @staticmethod
     def _finish(pred, prob, cnt, return_probs: bool):
         """Fetch device results to host (the sync point)."""
@@ -411,19 +426,11 @@ def validate_test(
     cm = np.zeros((nc, nc), np.int64)
     preds: List[np.ndarray] = []
 
-    def launch(t):
-        """Dispatch tile t's full prediction; returns a DEVICE pred map."""
-        if cfg.infer.mode == "dense":
-            pred, _, _ = inf._dense_device(
-                variables, t, block=cfg.infer.dense_block,
-                halo=cfg.infer.dense_halo,
-            )
-        else:
-            pred, _, _ = inf._window_device(variables, t, scales)
-        return pred
-
     # Pipeline: tile t+1's launches are enqueued before tile t's map is
     # downloaded, so the (tunnel-bound) fetch overlaps device compute.
+    def launch(t):
+        return inf.predict_tile_device(variables, t, scales)
+
     pending = launch(0) if test_tiles.num_tiles else None
     for t in range(test_tiles.num_tiles):
         nxt = launch(t + 1) if t + 1 < test_tiles.num_tiles else None

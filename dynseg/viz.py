@@ -27,6 +27,11 @@ def save_prediction_maps(
     os.makedirs(output_path, exist_ok=True)
     paths = []
     for i, pred in enumerate(preds):
+        n = int(np.max(pred)) + 1 if pred.size else 1
+        if n > len(palette):  # distinct colors instead of a silent clip
+            extra = (np.arange(len(palette), n)[:, None]
+                     * np.array([97, 57, 17]) + np.array([13, 101, 197])) % 255
+            palette = np.concatenate([palette, extra.astype(np.uint8)])
         safe = np.clip(pred, 0, len(palette) - 1)
         rgb = palette[safe]
         tag = names[i] if i < len(names) else str(i)

@@ -191,7 +191,7 @@ def test_hbm_budget_guard():
         train=TrainConfig(batch_size=8),
         data=DataConfig(dataset="synthetic"),
     )
-    with _pytest.raises((MemoryError, Exception)):
+    with _pytest.raises(MemoryError, match="HBM"):
         Trainer(cfg, ts)
 
 

@@ -84,3 +84,29 @@ def test_num_classes_table_covers_all_datasets():
     from dynseg.config import DATASETS
 
     assert set(DATASETS) <= set(NUM_CLASSES)
+
+
+def test_load_unlabeled_dir_and_formats(tmp_path, rng):
+    """predict-path loader: all supported formats including uppercase
+    .NPY, files with 'mask' in the name are NOT skipped (arbitrary
+    unlabeled imagery), masks all-IGNORE."""
+    from dynseg.data.datasets import load_unlabeled
+
+    a = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+    Image.fromarray(a).save(tmp_path / "unmasked_region.png")
+    b = rng.normal(size=(16, 18, 3)).astype(np.float32)
+    np.save(tmp_path / "tile_b.npy", b)
+    (tmp_path / "TILE_C.NPY").write_bytes((tmp_path / "tile_b.npy").read_bytes())
+    (tmp_path / "notes.txt").write_text("ignored")
+
+    ts, names = load_unlabeled(str(tmp_path))
+    assert ts.num_tiles == 3
+    assert set(names) == {"unmasked_region", "tile_b", "TILE_C"}
+    assert (ts.masks == IGNORE_LABEL).all()
+
+    # single-file form
+    ts1, names1 = load_unlabeled(str(tmp_path / "tile_b.npy"))
+    assert ts1.num_tiles == 1 and names1 == ["tile_b"]
+
+    with pytest.raises(FileNotFoundError):
+        load_unlabeled(str(tmp_path / "missing_dir"))
