@@ -137,6 +137,9 @@ class InferConfig:
     # device saturated past the per-launch dispatch latency.
     scan_chunk: int = 8
     dense_scan_chunk: int = 4
+    # Test sets above this budget stream tile-by-tile from host instead
+    # of living in HBM (peak device memory = one padded tile + buffers).
+    hbm_budget_gb: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,7 +81,17 @@ class Inferencer:
         from dynseg.data.tiles import storage_dtype
 
         sd = storage_dtype(self.padded.images)
-        self.images = jax.device_put(self.padded.images.astype(sd), self._repl)
+        packed = self.padded.images.astype(sd)
+        # Whole-set device residency is the fast path (zero re-upload),
+        # but a big test set (hundreds of production tiles) must not OOM:
+        # past the budget, tiles stay on host and stream one at a time
+        # (predictions are per-tile, so peak HBM = one padded tile).
+        budget = int(cfg.infer.hbm_budget_gb * 1024**3)
+        self._stream = packed.nbytes > budget
+        if self._stream:
+            self.images = packed  # host numpy; _tile() uploads on demand
+        else:
+            self.images = jax.device_put(packed, self._repl)
         self.mean = jax.device_put(tiles.mean, self._repl)
         self.std = jax.device_put(tiles.std, self._repl)
         self.nc = cfg.model.num_classes
@@ -96,6 +106,13 @@ class Inferencer:
             static_argnames=("block", "halo"),
             donate_argnames=("prob",),
         )
+
+    def _tile(self, tile_idx: int) -> jnp.ndarray:
+        """Device array of one padded tile (upload on demand in streaming
+        mode; a slice of the resident set otherwise — same programs)."""
+        if self._stream:
+            return jax.device_put(self.images[tile_idx], self._repl)
+        return self.images[tile_idx]
 
     # ------------------------------------------------------------------ #
     def _accumulate_impl(
@@ -264,7 +281,7 @@ class Inferencer:
         )
         # Fixed-size launch chunks (see predict_tile): two programs per
         # (block, halo, D) shape, tile-size independent; async chain.
-        tile = self.images[tile_idx]
+        tile = self._tile(tile_idx)
         K = max(1, int(self.cfg.infer.dense_scan_chunk))
         nb = len(starts)
         bulk = (nb // K) * K
@@ -336,7 +353,7 @@ class Inferencer:
         scales = [int(s) for s in (scales or self.scales)]
         h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
         Hp, Wp = self.padded.images.shape[1:3]
-        tile = self.images[tile_idx]
+        tile = self._tile(tile_idx)
         prob = jax.device_put(
             jnp.zeros((Hp, Wp, self.nc), jnp.float32), self._repl
         )

@@ -163,6 +163,32 @@ def test_scan_chunk_invariance(rng, chunk):
     np.testing.assert_allclose(prd1, prd2, atol=1e-6)
 
 
+def test_streaming_mode_matches_device_resident(rng):
+    """Tile sets over the HBM budget stream from host per tile; results
+    must be identical to whole-set device residency."""
+    ts = _tileset(rng, h=36, w=30)
+    model = build_model(cfg_for(scales=(12,)).model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    results = []
+    for budget in (10.0, 1e-9):  # resident vs forced streaming
+        cfg = cfg_for(scales=(12, 16), window_batch=16)
+        cfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(
+                cfg.infer, hbm_budget_gb=budget, dense_block=16, dense_halo=30)
+        )
+        inf = Inferencer(cfg, ts)
+        assert inf._stream == (budget < 1.0)
+        pw, prw = inf.predict_tile(variables, 0)
+        pd, prd = inf.predict_tile_dense(variables, 0, block=16, halo=30)
+        results.append((pw, prw, pd, prd))
+    (a, pa, b, pb), (c, pc, d, pd_) = results
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_allclose(pa, pc, atol=1e-6)
+    np.testing.assert_array_equal(b, d)
+    np.testing.assert_allclose(pb, pd_, atol=1e-6)
+
+
 def test_stride_fraction_above_one_has_no_holes(rng):
     """stride > window would leave zero-vote pixels; the stride is clamped
     so every pixel gets at least one vote."""
