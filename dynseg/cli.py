@@ -112,6 +112,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="window batches fused per device launch (static "
                         "scan length; programs are tile-size independent)")
     p.add_argument("--dense_scan_chunk", type=int, default=4)
+    p.add_argument("--hbm_budget_gb", type=float, default=10.0,
+                   help="test sets above this stream tile-by-tile from "
+                        "host instead of living in device HBM")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler device trace here (XProf)")
@@ -162,6 +165,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dense_halo=args.dense_halo,
             scan_chunk=args.scan_chunk,
             dense_scan_chunk=args.dense_scan_chunk,
+            hbm_budget_gb=args.hbm_budget_gb,
         ),
         data=DataConfig(
             dataset=args.dataset,
