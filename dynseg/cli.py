@@ -78,6 +78,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel TPU chips (mesh axis 'data')")
+    p.add_argument("--shard_tiles", action="store_true",
+                   help="shard training tiles across the mesh instead of "
+                        "replicating (datasets larger than one chip's HBM); "
+                        "each chip samples/gathers from its local shard")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps fused per device launch (lax.scan); "
                         "1 = per-batch scheduler feedback like the reference")
@@ -149,6 +153,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             eval_every=args.eval_every,
             checkpoint_every=args.checkpoint_every,
             steps_per_call=args.steps_per_call,
+            shard_tiles=args.shard_tiles,
             metric_fetch_depth=args.metric_fetch_depth,
             seed=args.seed,
             num_devices=args.num_devices,

@@ -97,6 +97,12 @@ class TrainConfig:
     # ~10 ms per-launch dispatch overhead of remote/tunneled TPUs
     # (scores then update once per chunk with chunk-mean metrics).
     steps_per_call: int = 1
+    # Shard the TILE axis across the data mesh instead of replicating:
+    # each chip holds 1/n of the training tiles and gathers its batch
+    # shard from them (shard_map), so datasets n times larger than one
+    # chip's HBM train without host streaming. Requires tiles >> devices
+    # (per-device class balance draws from the local shard only).
+    shard_tiles: bool = False
     # Scheduler-metric fetches trail this many launches behind (async
     # device->host copies overlap compute; a scalar fetch is a full
     # tunnel round-trip). Default 1 = reference-like one-step-stale

@@ -113,50 +113,92 @@ class Trainer:
         self.scales = [int(v) for v in cfg.sched.values]
         self.pad = max(self.scales) // 2 + 1
 
-        # Fail fast (before any multi-GB host work) if the tile set cannot
-        # possibly be device-resident even as uint8 (image C bytes/px +
-        # 1 label byte/px): ~16 GB/chip HBM minus activation headroom.
-        t, h, w, c = train_tiles.images.shape
-        min_bytes = t * (h + 2 * self.pad) * (w + 2 * self.pad) * (c + 1)
-        if min_bytes > 12 * 1024**3:
-            raise MemoryError(
-                f"tile set needs >= {min_bytes / 1e9:.1f} GB of device HBM "
-                f"even at uint8 storage; split the dataset across hosts or "
-                f"train per-region"
-            )
-
-        # Mirror-pad once so any scheduled patch size centered on a valid
-        # pixel stays in-bounds (SURVEY.md C14 + sampler contract).
-        padded = mirror_pad(train_tiles, self.pad)
-        self.sampler = BalancedPatchSampler(
-            padded,
-            cfg.model.num_classes,
-            pad=self.pad,
-            seed=cfg.train.seed,
-            balanced=cfg.data.balanced_sampling,
-            max_positions_per_class=cfg.data.max_positions_per_class,
-        )
-
         if mesh is None:
             n = cfg.train.num_devices
             devs = np.array(jax.devices()[:n])
             assert len(devs) == n, f"need {n} devices, have {len(jax.devices())}"
             mesh = jax.sharding.Mesh(devs, ("data",))
         self.mesh = mesh
+        n_dev = int(mesh.devices.size)
+        self.shard_tiles = bool(cfg.train.shard_tiles) and n_dev > 1
         P = jax.sharding.PartitionSpec
         self.repl = jax.sharding.NamedSharding(mesh, P())
         self.batch_sharded = jax.sharding.NamedSharding(mesh, P("data"))
+        self.tile_sharded = jax.sharding.NamedSharding(mesh, P("data"))
 
-        # Device-resident tiles (replicated: every chip gathers its own
-        # batch shard locally — no patch traffic over ICI). uint8 storage
-        # when lossless: 4x less HBM + gather-DMA traffic.
+        # Fail fast (before any multi-GB host work) if the tile set cannot
+        # possibly be device-resident even as uint8 (image C bytes/px +
+        # 1 label byte/px): ~16 GB/chip HBM minus activation headroom.
+        # Tile sharding divides the requirement across the mesh.
+        t, h, w, c = train_tiles.images.shape
+        min_bytes = t * (h + 2 * self.pad) * (w + 2 * self.pad) * (c + 1)
+        budget = 12 * 1024**3 * (n_dev if self.shard_tiles else 1)
+        if min_bytes > budget:
+            raise MemoryError(
+                f"tile set needs >= {min_bytes / 1e9:.1f} GB of device HBM "
+                f"even at uint8 storage; shard it across more chips "
+                f"(--shard_tiles with a larger --num_devices) or train "
+                f"per-region"
+            )
+
+        # Mirror-pad once so any scheduled patch size centered on a valid
+        # pixel stays in-bounds (SURVEY.md C14 + sampler contract).
+        padded = mirror_pad(train_tiles, self.pad)
+
+        # Device-resident tiles. Replicated by default (every chip gathers
+        # its own batch shard locally — no patch traffic over ICI); with
+        # --shard_tiles the TILE axis splits across the mesh instead and
+        # each chip samples/gathers from its local shard only. uint8
+        # storage when lossless: 4x less HBM + gather-DMA traffic.
         from dynseg.data.tiles import storage_dtype
 
         sd = storage_dtype(padded.images)
-        self.images = jax.device_put(padded.images.astype(sd), self.repl)
-        self.masks = jax.device_put(
-            padded.masks.astype(np.uint8), self.repl
+        images_np = padded.images.astype(sd)
+        masks_np = padded.masks.astype(np.uint8)
+        sampler_kw = dict(
+            num_classes=cfg.model.num_classes,
+            pad=self.pad,
+            balanced=cfg.data.balanced_sampling,
+            max_positions_per_class=cfg.data.max_positions_per_class,
         )
+        if self.shard_tiles:
+            t_pad = (-t) % n_dev  # dummy all-IGNORE tiles: never sampled
+            if t_pad:
+                images_np = np.concatenate(
+                    [images_np, np.zeros((t_pad,) + images_np.shape[1:], sd)]
+                )
+                masks_np = np.concatenate(
+                    [masks_np,
+                     np.full((t_pad,) + masks_np.shape[1:], 255, np.uint8)]
+                )
+            tpd = images_np.shape[0] // n_dev  # tiles per device
+            self.tiles_per_device = tpd
+            import dataclasses as _dc
+
+            self.samplers = []
+            for d in range(n_dev):
+                shard = _dc.replace(
+                    padded,
+                    images=images_np[d * tpd : (d + 1) * tpd],
+                    masks=masks_np[d * tpd : (d + 1) * tpd],
+                )
+                try:
+                    self.samplers.append(BalancedPatchSampler(
+                        shard, seed=cfg.train.seed + 31 * d, **sampler_kw))
+                except ValueError as e:
+                    raise ValueError(
+                        f"--shard_tiles: device {d}'s tile shard has no "
+                        f"labeled pixels — use more tiles or fewer devices"
+                    ) from e
+            self.sampler = self.samplers[0]  # augment-id rng source
+            self.images = jax.device_put(images_np, self.tile_sharded)
+            self.masks = jax.device_put(masks_np, self.tile_sharded)
+        else:
+            self.sampler = BalancedPatchSampler(
+                padded, seed=cfg.train.seed, **sampler_kw)
+            self.samplers = [self.sampler]
+            self.images = jax.device_put(images_np, self.repl)
+            self.masks = jax.device_put(masks_np, self.repl)
         self.mean = jax.device_put(padded.mean, self.repl)
         self.std = jax.device_put(padded.std, self.repl)
 
@@ -224,9 +266,25 @@ class Trainer:
         dropout_rng: jax.Array,
         size: int,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        imgs, labs = gather_batch(
-            images, masks, mean, std, positions, aug_ids, size
-        )
+        if self.shard_tiles:
+            # Tiles live sharded across the mesh: each device gathers its
+            # batch shard from ITS tile shard (positions carry LOCAL tile
+            # ids). shard_map keeps the gather purely local — zero ICI
+            # traffic; the rest of the step stays auto-sharded DP (XLA
+            # inserts the gradient psum).
+            P = jax.sharding.PartitionSpec
+            imgs, labs = jax.shard_map(
+                lambda im, mk, me, st, p, a: gather_batch(
+                    im, mk, me, st, p, a, size
+                ),
+                mesh=self.mesh,
+                in_specs=(P("data"), P("data"), P(), P(), P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+            )(images, masks, mean, std, positions, aug_ids)
+        else:
+            imgs, labs = gather_batch(
+                images, masks, mean, std, positions, aug_ids, size
+            )
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -295,10 +353,19 @@ class Trainer:
     def make_batch_inputs(self, size: int, augment: Optional[bool] = None,
                           k: int = 1):
         """Host-side sampling of K step-batches -> device-sharded index
-        arrays (tiny: K*B*4 int32s per launch)."""
+        arrays (tiny: K*B*4 int32s per launch). With --shard_tiles each
+        device's batch rows are drawn by ITS shard's sampler and carry
+        LOCAL tile ids."""
         b = self.batch_size_for(size)
         aug = self.cfg.data.augment if augment is None else augment
-        pos = self.sampler.sample(k * b).reshape(k, b, 3)
+        if self.shard_tiles:
+            n = self.mesh.devices.size
+            bl = b // n  # batch_size_for rounds b to a mesh multiple
+            pos = np.empty((k, b, 3), np.int32)
+            for d, s in enumerate(self.samplers):
+                pos[:, d * bl : (d + 1) * bl] = s.sample(k * bl).reshape(k, bl, 3)
+        else:
+            pos = self.sampler.sample(k * b).reshape(k, b, 3)
         aug_ids = self.sampler.sample_augment_ids(k * b, aug).reshape(k, b)
         P = jax.sharding.PartitionSpec
         chunk_sharded = jax.sharding.NamedSharding(self.mesh, P(None, "data"))

@@ -111,6 +111,75 @@ def test_dp_sharded_training_runs(tiles):
     assert p0.sharding.is_fully_replicated
 
 
+def test_shard_tiles_training_runs_and_learns():
+    """--shard_tiles: tile axis sharded over the 8-device mesh, per-device
+    local sampling/gather via shard_map; training must run and reduce
+    loss, with params replicated."""
+    n = jax.device_count()
+    assert n == 8
+    train_tiles, _ = load_synthetic(seed=0, num_tiles=16, size=64)
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=32, niter=30, num_devices=8, seed=0,
+        shard_tiles=True,
+    ))
+    trainer = Trainer(cfg, train_tiles)
+    assert trainer.shard_tiles and len(trainer.samplers) == 8
+    assert trainer.images.shape[0] == 16  # 2 tiles per device
+    assert not trainer.images.sharding.is_fully_replicated
+    state = trainer.init_state(jax.random.key(0))
+    rng = jax.random.key(1)
+    losses = []
+    for _ in range(30):
+        rng, dr = jax.random.split(rng)
+        state, m = trainer.train_step(state, 9, dr)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+
+
+def test_shard_tiles_gather_matches_global(tiles):
+    """The sharded gather must return exactly the patches that direct
+    global-id gathering from the full tile set would return."""
+    from dynseg.ops.gather import gather_batch
+
+    train_tiles, _ = load_synthetic(seed=3, num_tiles=8, size=48)
+    cfg = tiny_config(train=TrainConfig(batch_size=16, num_devices=8, seed=0,
+                                        shard_tiles=True))
+    tr = Trainer(cfg, train_tiles)
+    tpd = tr.tiles_per_device
+    pos, aug = tr.make_batch_inputs(9, k=1)
+    pos_np, aug_np = np.asarray(pos), np.asarray(aug)
+
+    state = tr.init_state(jax.random.key(0))
+    _, _ = tr.train_step(state, 9, jax.random.key(1))  # compiles the path
+
+    # direct: reconstruct GLOBAL ids (local id + device_block * tpd)
+    n = 8
+    bl = pos_np.shape[1] // n
+    gpos = pos_np[0].copy()
+    for d in range(n):
+        gpos[d * bl : (d + 1) * bl, 0] += d * tpd
+    imgs_ref, labs_ref = gather_batch(
+        jnp.asarray(np.asarray(tr.images)), jnp.asarray(np.asarray(tr.masks)),
+        tr.mean, tr.std, jnp.asarray(gpos), jnp.asarray(aug_np[0]), 9,
+    )
+
+    # sharded path: call the step's gather in isolation via shard_map
+    P = jax.sharding.PartitionSpec
+    sh = jax.shard_map(
+        lambda im, mk, me, st, p, a: gather_batch(im, mk, me, st, p, a, 9),
+        mesh=tr.mesh,
+        in_specs=(P("data"), P("data"), P(), P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+    )
+    imgs_sh, labs_sh = sh(tr.images, tr.masks, tr.mean, tr.std,
+                          jnp.asarray(pos_np[0]), jnp.asarray(aug_np[0]))
+    np.testing.assert_allclose(np.asarray(imgs_sh), np.asarray(imgs_ref),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(labs_sh), np.asarray(labs_ref))
+
+
 def test_batch_rescaling_by_area(tiles):
     cfg = tiny_config(train=TrainConfig(batch_size=64, rescale_batch_by_area=True))
     trainer = Trainer(cfg, tiles[0])
