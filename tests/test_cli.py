@@ -49,6 +49,25 @@ def test_new_framework_flags():
     assert not cfg.data.augment and not cfg.data.balanced_sampling
 
 
+def test_session2_flags_roundtrip():
+    cfg = _cfg([
+        "--scan_chunk", "16", "--dense_scan_chunk", "2",
+        "--metric_fetch_depth", "4", "--shard_tiles",
+        "--hbm_budget_gb", "2.5",
+    ])
+    assert cfg.infer.scan_chunk == 16
+    assert cfg.infer.dense_scan_chunk == 2
+    assert cfg.train.metric_fetch_depth == 4
+    assert cfg.train.shard_tiles
+    assert cfg.infer.hbm_budget_gb == 2.5
+
+
+def test_predict_operation_flags():
+    args = build_argparser().parse_args(
+        ["--operation", "predict", "--predict_path", "/data/new"])
+    assert args.operation == "predict" and args.predict_path == "/data/new"
+
+
 def test_parse_values():
     assert parse_values("25,35, 45") == [25, 35, 45]
     assert parse_values([25, 35]) == [25, 35]
