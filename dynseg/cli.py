@@ -279,17 +279,30 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
     from dynseg.checkpoint import CheckpointManager
     from dynseg.infer import validate_test
     from dynseg.sched.scheduler import ScaleScheduler
-    from dynseg.train import Trainer
+    from dynseg.train import Trainer, init_state_template
 
     train_tiles, test_tiles = load_dataset(
         cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
         **({"seed": cfg.train.seed} if cfg.data.dataset.startswith("synthetic") else {}),
     )
-    cfg = _fix_num_input_bands(cfg, train_tiles)
-    trainer = Trainer(cfg, train_tiles)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     ckpt = CheckpointManager(cfg.train.output_path)
-    state, step = ckpt.restore(trainer, scheduler)
+    stats = ckpt.load_stats()
+    if stats is not None:
+        # Trainer-free restore: skip building the training sampler tables
+        # and uploading training tiles (minutes + GBs on production sets).
+        import dataclasses as dc
+
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model,
+            num_input_bands=int(stats["num_input_bands"]),
+            num_classes=int(stats["num_classes"]),
+        ))
+        state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
+    else:  # pre-sidecar checkpoint: template via a full Trainer
+        cfg = _fix_num_input_bands(cfg, train_tiles)
+        trainer = Trainer(cfg, train_tiles)
+        state, step = ckpt.restore(trainer, scheduler)
     log(f"restored checkpoint at iteration {step}")
     scales = None
     if scales_from_scheduler > 0:
@@ -298,7 +311,10 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    mesh = trainer.mesh if cfg.train.num_devices > 1 else None
+    mesh = None
+    if cfg.train.num_devices > 1:
+        devs = np.array(jax.devices()[: cfg.train.num_devices])
+        mesh = jax.sharding.Mesh(devs, ("data",))
     scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log,
                            mesh=mesh)
     if cfg.infer.save_prediction_maps:
