@@ -67,10 +67,25 @@ def test_block_matches_torch(rng, kernel, dilation, use_bn):
     np.testing.assert_allclose(out_jax, out_ref, atol=2e-5, rtol=1e-5)
 
 
-def test_full_net_matches_torch_composition(rng):
-    """dilated_grsl end-to-end: compose the torch reference blocks with
-    the Flax net's own weights and compare final logits."""
-    cfg = ModelConfig(net_type="dilated_grsl", num_classes=4,
+def _torch_block_from_vars(t, params, stats, dilation, leaky_slope, pool_window):
+    bn = (
+        np.asarray(stats["BatchNorm_0"]["mean"]),
+        np.asarray(stats["BatchNorm_0"]["var"]),
+        np.asarray(params["BatchNorm_0"]["scale"]),
+        np.asarray(params["BatchNorm_0"]["bias"]),
+    )
+    return torch_block(t.astype(np.float64), np.asarray(params["Conv_0"]["kernel"]),
+                       None, bn, dilation, leaky_slope, pool_window)
+
+
+@pytest.mark.parametrize("net_type", [
+    "dilated_icpr_rate6", "dilated_icpr_original",
+    "dilated_grsl", "dilated_grsl_rate8",
+])
+def test_full_net_matches_torch_composition(rng, net_type):
+    """Every sequential variant end-to-end: compose the torch reference
+    blocks with the Flax net's own weights and compare final logits."""
+    cfg = ModelConfig(net_type=net_type, num_classes=4,
                       num_input_bands=3, width_multiplier=0.25,
                       use_batch_norm=True)
     model = build_model(cfg)
@@ -83,19 +98,41 @@ def test_full_net_matches_torch_composition(rng):
     params = variables["params"]
     stats = variables["batch_stats"]
     t = x
-    for i, (k, _, d, _) in enumerate(_ARCH["dilated_grsl"]):
-        p = params[f"DilatedConvBlock_{i}"]
-        s = stats[f"DilatedConvBlock_{i}"]
-        bn = (
-            np.asarray(s["BatchNorm_0"]["mean"]),
-            np.asarray(s["BatchNorm_0"]["var"]),
-            np.asarray(p["BatchNorm_0"]["scale"]),
-            np.asarray(p["BatchNorm_0"]["bias"]),
-        )
-        t = torch_block(t.astype(np.float64), np.asarray(p["Conv_0"]["kernel"]),
-                        None, bn, d, cfg.leaky_slope, cfg.pool_window)
+    for i, (k, _, d, _) in enumerate(_ARCH[net_type]):
+        t = _torch_block_from_vars(
+            t, params[f"DilatedConvBlock_{i}"], stats[f"DilatedConvBlock_{i}"],
+            d, cfg.leaky_slope, cfg.pool_window)
     # 1x1 score head
     hp = params["ScoreHead_0"]["Conv_0"]
     kw = np.asarray(hp["kernel"])  # (1,1,Cin,nc)
     out_ref = t @ kw[0, 0] + np.asarray(hp["bias"])
+    np.testing.assert_allclose(out_jax, out_ref, atol=5e-5, rtol=1e-4)
+
+
+def test_dense_net_matches_torch_composition(rng):
+    """dilated_icpr_rate6_densely: the torch composition must reproduce the
+    dense concat wiring (block i consumes [input, out_1..out_{i-1}]; head
+    consumes concat of all block outputs, input excluded)."""
+    cfg = ModelConfig(net_type="dilated_icpr_rate6_densely", num_classes=3,
+                      num_input_bands=3, width_multiplier=0.125,
+                      use_batch_norm=True)
+    model = build_model(cfg)
+    x = rng.normal(size=(2, 13, 13, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(2), jnp.asarray(x), train=False)
+    out_jax = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    from dynseg.models.dilated import _ARCH
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    feats = [x.astype(np.float64)]
+    for i, (k, _, d, _) in enumerate(_ARCH["dilated_icpr_rate6"]):
+        inp = np.concatenate(feats, axis=-1)
+        out = _torch_block_from_vars(
+            inp, params[f"DilatedConvBlock_{i}"], stats[f"DilatedConvBlock_{i}"],
+            d, cfg.leaky_slope, cfg.pool_window)
+        feats.append(out)
+    t = np.concatenate(feats[1:], axis=-1)
+    hp = params["ScoreHead_0"]["Conv_0"]
+    out_ref = t @ np.asarray(hp["kernel"])[0, 0] + np.asarray(hp["bias"])
     np.testing.assert_allclose(out_jax, out_ref, atol=5e-5, rtol=1e-4)
