@@ -50,10 +50,13 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     # --- reference-compatible flags (SURVEY.md C1) ---
     p.add_argument("--operation", required=True,
-                   choices=["training", "testing", "validate_test", "predict"],
+                   choices=["training", "testing", "validate_test", "predict",
+                            "export"],
                    help="training; full-tile prediction with metrics "
-                        "(testing/validate_test are synonyms); or predict = "
-                        "inference on unlabeled rasters (--predict_path)")
+                        "(testing/validate_test are synonyms); predict = "
+                        "inference on unlabeled rasters (--predict_path); "
+                        "export = standalone StableHLO serving artifact "
+                        "from the checkpoint (dynseg/export.py)")
     p.add_argument("--predict_path", default="",
                    help="file or directory of rasters for --operation predict")
     p.add_argument("--dataset", default="synthetic", choices=cfgmod.DATASETS)
@@ -119,6 +122,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hbm_budget_gb", type=float, default=10.0,
                    help="test sets above this stream tile-by-tile from "
                         "host instead of living in device HBM")
+    p.add_argument("--export_platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets for "
+                        "--operation export (jax.export platforms)")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler device trace here (XProf)")
@@ -405,6 +411,53 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     return paths
 
 
+def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print) -> str:
+    """Export the checkpoint as a standalone serving artifact (StableHLO,
+    shape-polymorphic, params + normalization baked — dynseg/export.py).
+    Trainer-free: only the checkpoint dir is needed, like run_predict."""
+    import dataclasses as dc
+
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.export import export_predictor
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+
+    ckpt = CheckpointManager(cfg.train.output_path)
+    stats = ckpt.load_stats()
+    if stats is None:
+        raise FileNotFoundError(
+            f"no stats.json under {ckpt.dir} — export needs the stats "
+            f"sidecar (re-save the checkpoint by resuming training for "
+            f"one checkpoint interval)"
+        )
+    if stats.get("net_type") not in (None, cfg.model.net_type):
+        raise ValueError(
+            f"checkpoint was trained with net_type={stats['net_type']!r}; "
+            f"pass --net_type {stats['net_type']}"
+        )
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model,
+        num_input_bands=int(stats["num_input_bands"]),
+        num_classes=int(stats["num_classes"]),
+    ))
+    scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
+    log(f"restored checkpoint at iteration {step}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out_dir = export_predictor(
+        cfg, variables, stats["mean"], stats["std"],
+        os.path.join(cfg.train.output_path, "export"),
+        platforms=platforms,
+        extra_meta={
+            "checkpoint_step": int(step),
+            "dataset": stats.get("dataset"),
+        },
+    )
+    log(f"exported serving artifact -> {out_dir} "
+        f"(platforms: {', '.join(platforms)})")
+    return out_dir
+
+
 def _write_scores(cfg: Config, scores: dict) -> None:
     out = {
         "oa": scores["oa"],
@@ -449,6 +502,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 raise SystemExit("--operation predict requires --predict_path")
             run_predict(cfg, args.predict_path, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler)
+        elif args.operation == "export":
+            platforms = tuple(
+                s for s in args.export_platforms.replace(" ", "").split(",") if s
+            )
+            run_export(cfg, platforms=platforms, log=logger)
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler)

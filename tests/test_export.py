@@ -1,0 +1,143 @@
+"""Serving export (dynseg/export.py): the StableHLO artifact must be
+standalone (params + normalization baked), shape-polymorphic (one artifact
+for every window scale / dense block), and reproduce the live model
+bit-close. Beyond-reference capability — the reference redeploys by
+re-running its training script (SURVEY.md C16)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynseg.config import Config, DataConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.export import ARTIFACT, ExportedPredictor, export_predictor
+from dynseg.models.dilated import build_model
+
+
+def _tiny_cfg(**model_kw):
+    return Config(
+        model=ModelConfig(net_type="dilated_grsl", num_classes=3,
+                          num_input_bands=3, width_multiplier=0.125,
+                          **model_kw),
+        sched=SchedulerConfig(distribution_type="multi_fixed", values=(9, 13)),
+        train=TrainConfig(batch_size=4, seed=0),
+        data=DataConfig(dataset="synthetic"),
+    )
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    cfg = _tiny_cfg()
+    model = build_model(cfg.model)
+    x = jnp.zeros((1, 9, 9, 3), jnp.float32)
+    variables = model.init(jax.random.key(3), x, train=False)
+    mean = np.array([10.0, 20.0, 30.0], np.float32)
+    std = np.array([5.0, 5.0, 5.0], np.float32)
+    out = tmp_path_factory.mktemp("export")
+    export_predictor(cfg, variables, mean, std, str(out),
+                     platforms=("cpu", "tpu"))
+    return cfg, model, variables, mean, std, str(out)
+
+
+def test_export_roundtrip_matches_live_model(exported, rng):
+    cfg, model, variables, mean, std, out = exported
+    pred = ExportedPredictor.load(out)
+    # One artifact serves multiple batch sizes AND window sizes (the nets
+    # are fully convolutional — symbolic b/h/w).
+    for shape in [(2, 9, 9, 3), (1, 25, 25, 3), (3, 17, 13, 3)]:
+        raw = rng.uniform(0, 255, size=shape).astype(np.float32)
+        got = pred.probs(raw)
+        norm = (jnp.asarray(raw) - mean) / std
+        want = jax.nn.softmax(
+            model.apply(variables, norm, train=False).astype(jnp.float32), -1
+        )
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+    labels, probs = pred.predict(raw)
+    assert labels.shape == shape[:3] and labels.dtype == np.int32
+    np.testing.assert_array_equal(labels, probs.argmax(-1))
+
+
+def test_export_manifest_and_checksum(exported):
+    cfg, _, _, mean, std, out = exported
+    pred = ExportedPredictor.load(out)
+    m = pred.manifest
+    assert m["net_type"] == cfg.model.net_type
+    assert m["num_classes"] == cfg.model.num_classes
+    assert m["platforms"] == ["cpu", "tpu"]
+    np.testing.assert_allclose(m["normalization"]["mean"], mean)
+    # a corrupted artifact must be refused
+    path = os.path.join(out, ARTIFACT)
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    bad = os.path.join(out, "..", "bad_export")
+    os.makedirs(bad, exist_ok=True)
+    import shutil
+
+    shutil.copy(os.path.join(out, "manifest.json"),
+                os.path.join(bad, "manifest.json"))
+    with open(os.path.join(bad, ARTIFACT), "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        ExportedPredictor.load(bad)
+
+
+def test_export_input_validation(exported):
+    _, _, _, _, _, out = exported
+    pred = ExportedPredictor.load(out)
+    with pytest.raises(ValueError, match="expected"):
+        pred.probs(np.zeros((1, 9, 9, 5), np.float32))  # wrong band count
+    with pytest.raises(ValueError, match="expected"):
+        pred.probs(np.zeros((9, 9, 3), np.float32))  # missing batch dim
+
+
+def test_cli_export_from_checkpoint(tmp_path):
+    """--operation export end-to-end: train briefly, export, and the
+    artifact must reproduce the restored model's probabilities."""
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.cli import build_argparser, config_from_args, run_export, run_training
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "8",
+        "--no_prediction_maps",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, width_multiplier=0.125),
+        train=dataclasses.replace(cfg.train, niter=8, batch_size=8,
+                                  eval_every=10_000, checkpoint_every=10_000),
+    )
+    run_training(cfg, log=lambda *_: None)
+    out = run_export(cfg, platforms=("cpu",), log=lambda *_: None)
+    pred = ExportedPredictor.load(out)
+    assert pred.manifest["checkpoint_step"] == 8
+    assert pred.manifest["dataset"] == "synthetic"
+
+    # parity vs the restored checkpoint
+    ckpt = CheckpointManager(str(tmp_path))
+    stats = ckpt.load_stats()
+    cfg2 = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, num_input_bands=int(stats["num_input_bands"]),
+        num_classes=int(stats["num_classes"])))
+    state, _ = ckpt.restore_state(
+        init_state_template(cfg2), ScaleScheduler(cfg2.sched, seed=0))
+    model = build_model(cfg2.model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    raw = np.random.default_rng(1).uniform(0, 255, (2, 15, 15, 3)).astype(np.float32)
+    norm = (jnp.asarray(raw) - stats["mean"]) / stats["std"]
+    want = jax.nn.softmax(
+        model.apply(variables, norm, train=False).astype(jnp.float32), -1)
+    np.testing.assert_allclose(pred.probs(raw), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
