@@ -1,0 +1,244 @@
+"""Inference serving: an HTTP server over the exported StableHLO artifact.
+
+The reference has no serving story at all — its only prediction path is
+re-running the training script ([R] dynamic.py:≈validate_test; SURVEY.md
+§5 "no serving layer"). This module serves a trained model in production
+from the `--operation export` artifact ALONE (dynseg/export.py): no
+checkpoint, no training dataset, no model-definition code.
+
+Design (TPU-aware even though the hot path lives in the artifact):
+
+  * The artifact is shape-polymorphic but XLA compiles per concrete
+    shape — the server therefore quantizes every forward to a FIXED
+    window batch (pad + weight-mask), so a long-running server compiles
+    each (scale, batch) program exactly once, like the training buckets
+    (SURVEY.md C12 bucketing).
+  * Two estimators, mirroring dynseg.infer: `window` = reference-parity
+    multi-scale sliding-window softmax voting (scales/stride from the
+    manifest's serving hints); `dense` = one whole-raster forward, with
+    mirror padding so edge pixels see real context.
+  * Responses stream back as raw `.npy` (labels or probabilities) or a
+    colorized PNG (palette from the manifest's training dataset).
+
+Endpoints:
+    GET  /healthz             liveness + manifest summary
+    GET  /manifest            full export manifest
+    POST /predict?mode=dense|window&output=labels|probs|png
+                              body: PNG/JPEG image bytes or .npy array
+                              (H, W, bands)
+
+Run:  python -m dynseg.serve --export_dir /out/export --port 8400
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from dynseg.export import ExportedPredictor
+
+
+def _mirror_pad(img: np.ndarray, pad: int) -> np.ndarray:
+    return np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+class ServingEngine:
+    """Raster-in, labels-out on top of an ExportedPredictor.
+
+    Pure numpy around the artifact calls; every device forward goes
+    through a fixed (batch, size, size) shape so programs compile once.
+    """
+
+    def __init__(self, predictor: ExportedPredictor, window_batch: int = 64):
+        self.p = predictor
+        m = predictor.manifest
+        self.bands = int(m["num_input_bands"])
+        self.nc = int(m["num_classes"])
+        self.scales = [int(s) for s in m["inference"]["window_scales"]]
+        self.stride_fraction = float(m["inference"]["stride_fraction"])
+        self.window_batch = int(window_batch)
+        self._lock = threading.Lock()  # artifact .call is not thread-safe
+
+    # -- estimators ---------------------------------------------------- #
+    def dense(self, img: np.ndarray) -> np.ndarray:
+        """One whole-raster forward (mirror-padded halo so edge pixels
+        see context, like dynseg.infer dense mode)."""
+        halo = int(self.p.manifest["inference"]["dense_halo"])
+        h, w = img.shape[:2]
+        x = _mirror_pad(img.astype(np.float32), halo)[None]
+        with self._lock:
+            probs = self.p.probs(x)[0]
+        return probs[halo : halo + h, halo : halo + w]
+
+    def window(self, img: np.ndarray,
+               scales: Optional[List[int]] = None) -> np.ndarray:
+        """Reference-parity multi-scale sliding-window softmax voting
+        (SURVEY.md C15) in host numpy around fixed-shape artifact calls."""
+        scales = [int(s) for s in (scales or self.scales)]
+        h, w = img.shape[:2]
+        pad = max(scales)
+        big = _mirror_pad(img.astype(np.float32), pad)
+        prob = np.zeros((h + 2 * pad, w + 2 * pad, self.nc), np.float32)
+        cnt = np.zeros((h + 2 * pad, w + 2 * pad, 1), np.float32)
+        B = self.window_batch
+        for s in scales:
+            stride = min(s, max(1, int(round(s * self.stride_fraction))))
+            rows = self._origins(pad, pad + h, s, stride, big.shape[0] - s)
+            cols = self._origins(pad, pad + w, s, stride, big.shape[1] - s)
+            origins = [(r, c) for r in rows for c in cols]
+            for lo in range(0, len(origins), B):
+                chunk = origins[lo : lo + B]
+                n = len(chunk)
+                batch = np.zeros((B, s, s, self.bands), np.float32)
+                for i, (r, c) in enumerate(chunk):
+                    batch[i] = big[r : r + s, c : c + s]
+                with self._lock:
+                    probs = self.p.probs(batch)  # fixed shape per (s, B)
+                for i, (r, c) in enumerate(chunk):
+                    if i < n:
+                        prob[r : r + s, c : c + s] += probs[i]
+                        cnt[r : r + s, c : c + s] += 1.0
+        valid = prob[pad : pad + h, pad : pad + w]
+        cval = np.maximum(cnt[pad : pad + h, pad : pad + w], 1e-9)
+        return valid / cval
+
+    @staticmethod
+    def _origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[int]:
+        first = min(max(0, lo - size // 2), lim)
+        out = list(range(first, min(hi, lim + 1), stride))
+        while out[-1] + size < hi and out[-1] < lim:
+            out.append(min(lim, out[-1] + stride))
+        return [r for r in out if r < hi] or [min(lim, max(0, lo))]
+
+    # -- request-level API ---------------------------------------------- #
+    def predict(self, img: np.ndarray, mode: str = "window",
+                scales: Optional[List[int]] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.ndim != 3 or img.shape[-1] != self.bands:
+            raise ValueError(
+                f"expected (H, W, {self.bands}) raster, got {img.shape}"
+            )
+        probs = self.dense(img) if mode == "dense" else self.window(img, scales)
+        return probs.argmax(-1).astype(np.int32), probs
+
+
+def _decode_body(body: bytes, content_type: str) -> np.ndarray:
+    if content_type.startswith("application/x-npy") or body[:6] == b"\x93NUMPY":
+        return np.load(io.BytesIO(body), allow_pickle=False)
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(body)))
+
+
+def _encode_png(labels: np.ndarray, dataset: Optional[str]) -> bytes:
+    from PIL import Image
+
+    from dynseg.data.datasets import PALETTES
+
+    palette = PALETTES.get(dataset or "", None)
+    if palette is None or len(palette) <= int(labels.max()):
+        # no (or too small a) training palette: deterministic gray ramp
+        ramp = np.linspace(0, 255, max(2, int(labels.max()) + 1)).astype(np.uint8)
+        rgb = np.stack([ramp[labels]] * 3, axis=-1)
+    else:
+        rgb = np.asarray(palette, np.uint8)[labels]
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
+                window_batch: int = 64) -> ThreadingHTTPServer:
+    engine = ServingEngine(ExportedPredictor.load(export_dir),
+                           window_batch=window_batch)
+    manifest = engine.p.manifest
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default; server logs elsewhere
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "net_type": manifest["net_type"],
+                    "num_classes": manifest["num_classes"],
+                    "checkpoint_step": manifest.get("checkpoint_step"),
+                })
+            elif path == "/manifest":
+                self._json(200, manifest)
+            else:
+                self._json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                return self._json(404, {"error": f"no route {url.path}"})
+            q = parse_qs(url.query)
+            mode = q.get("mode", ["window"])[0]
+            output = q.get("output", ["labels"])[0]
+            scales = ([int(s) for s in q["scales"][0].split(",")]
+                      if "scales" in q else None)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                img = _decode_body(self.rfile.read(n),
+                                   self.headers.get("Content-Type", ""))
+                labels, probs = engine.predict(img, mode=mode, scales=scales)
+                if output == "png":
+                    body = _encode_png(labels, manifest.get("dataset"))
+                    ctype = "image/png"
+                else:
+                    buf = io.BytesIO()
+                    np.save(buf, probs if output == "probs" else labels)
+                    body, ctype = buf.getvalue(), "application/x-npy"
+            except Exception as e:  # noqa: BLE001 — report to client
+                return self._json(400, {"error": str(e)})
+            self._send(200, body, ctype)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="dynseg.serve",
+        description="Serve a dynseg export over HTTP",
+    )
+    ap.add_argument("--export_dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8400)
+    ap.add_argument("--window_batch", type=int, default=64)
+    args = ap.parse_args(argv)
+    srv = make_server(args.export_dir, args.host, args.port,
+                      args.window_batch)
+    print(f"serving {args.export_dir} on http://{args.host}:{srv.server_port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,133 @@
+"""Serving layer (dynseg/serve.py): the HTTP server must run from the
+export artifact alone, and its window-voting estimator must agree with the
+on-device Inferencer (same windows, same softmax averaging — SURVEY.md
+C15)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynseg.config import Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.export import ExportedPredictor, export_predictor
+from dynseg.models.dilated import build_model
+from dynseg.serve import ServingEngine, make_server
+
+
+def _cfg():
+    return Config(
+        model=ModelConfig(net_type="dilated_grsl", num_classes=3,
+                          num_input_bands=3, width_multiplier=0.125),
+        sched=SchedulerConfig(distribution_type="multi_fixed", values=(9, 13)),
+        train=TrainConfig(batch_size=4, seed=0),
+        infer=InferConfig(scales=(9, 13), window_batch=16, dense_halo=20),
+        data=DataConfig(dataset="synthetic"),
+    )
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    cfg = _cfg()
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(5),
+                           jnp.zeros((1, 9, 9, 3), jnp.float32), train=False)
+    mean = np.array([100.0, 110.0, 120.0], np.float32)
+    std = np.array([40.0, 41.0, 42.0], np.float32)
+    out = tmp_path_factory.mktemp("serve_export")
+    export_predictor(cfg, variables, mean, std, str(out), platforms=("cpu",),
+                     extra_meta={"dataset": "synthetic"})
+    return cfg, model, variables, mean, std, str(out)
+
+
+def test_window_voting_matches_inferencer(served, rng):
+    """ServingEngine (host numpy around artifact calls) and Inferencer
+    (on-device overlap-add) implement the same estimator — probabilities
+    must agree to float tolerance."""
+    from dynseg.data.tiles import IGNORE_LABEL, TileSet
+    from dynseg.infer import Inferencer
+
+    cfg, model, variables, mean, std, out = served
+    h = w = 24
+    img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+    tiles = TileSet(
+        images=img[None],
+        masks=np.zeros((1, h, w), np.int32),
+        valid_hw=np.array([[h, w]], np.int32),
+        mean=mean, std=std,
+    )
+    inf = Inferencer(cfg, tiles)
+    pred_dev, prob_dev = inf.predict_tile(variables, 0, return_probs=True)
+
+    eng = ServingEngine(ExportedPredictor.load(out), window_batch=16)
+    labels, probs = eng.predict(img, mode="window")
+    np.testing.assert_allclose(probs, prob_dev, atol=2e-4, rtol=1e-3)
+    assert (labels == pred_dev).mean() > 0.995
+
+
+def test_dense_mode_runs(served, rng):
+    _, _, _, _, _, out = served
+    eng = ServingEngine(ExportedPredictor.load(out))
+    img = rng.uniform(0, 255, size=(30, 26, 3)).astype(np.float32)
+    labels, probs = eng.predict(img, mode="dense")
+    assert labels.shape == (30, 26) and probs.shape == (30, 26, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_http_endpoints(served, rng):
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=16)  # ephemeral port
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        hz = json.loads(urllib.request.urlopen(f"{base}/healthz").read())
+        assert hz["status"] == "ok" and hz["num_classes"] == 3
+        man = json.loads(urllib.request.urlopen(f"{base}/manifest").read())
+        assert man["net_type"] == "dilated_grsl"
+
+        img = rng.uniform(0, 255, size=(20, 20, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+
+        def post(path, body, ctype):
+            req = urllib.request.Request(
+                f"{base}{path}", data=body,
+                headers={"Content-Type": ctype}, method="POST")
+            return urllib.request.urlopen(req)
+
+        # labels as .npy
+        r = post("/predict?mode=dense", buf.getvalue(), "application/x-npy")
+        labels = np.load(io.BytesIO(r.read()))
+        assert labels.shape == (20, 20) and labels.dtype == np.int32
+
+        # probabilities
+        r = post("/predict?mode=dense&output=probs", buf.getvalue(),
+                 "application/x-npy")
+        probs = np.load(io.BytesIO(r.read()))
+        assert probs.shape == (20, 20, 3)
+        np.testing.assert_array_equal(labels, probs.argmax(-1))
+
+        # PNG input, PNG output (uses the manifest's training palette)
+        from PIL import Image
+
+        pbuf = io.BytesIO()
+        Image.fromarray(img.astype(np.uint8)).save(pbuf, format="PNG")
+        r = post("/predict?mode=window&scales=9&output=png",
+                 pbuf.getvalue(), "image/png")
+        assert r.headers["Content-Type"] == "image/png"
+        rgb = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert rgb.shape == (20, 20, 3)
+
+        # malformed input -> 400 with an error message
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/predict", np.save(io.BytesIO(), 1) or b"garbage", "")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        th.join(timeout=5)
