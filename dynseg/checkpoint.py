@@ -61,25 +61,68 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
 
+    # -- best-validation tracking (beyond the reference, which keeps only
+    #    the last periodic save) ---------------------------------------- #
+    def _best_mgr(self) -> ocp.CheckpointManager:
+        if not hasattr(self, "_best"):
+            self._best = ocp.CheckpointManager(
+                os.path.join(self.dir, "best"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            )
+        return self._best
+
+    def best_record(self) -> Optional[dict]:
+        path = os.path.join(self.dir, "best.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def save_best(self, metric: float, it: int, state: TrainState,
+                  scheduler: ScaleScheduler) -> bool:
+        """Keep the single checkpoint with the highest validation metric
+        under checkpoints/best/. Returns True if this one became the best."""
+        rec = self.best_record()
+        if rec is not None and float(metric) <= float(rec["metric"]):
+            return False
+        mgr = self._best_mgr()
+        mgr.save(
+            it,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                scheduler=ocp.args.JsonSave(_jsonable(scheduler.state_dict())),
+            ),
+        )
+        mgr.wait_until_finished()
+        with open(os.path.join(self.dir, "best.json"), "w") as f:
+            json.dump({"metric": float(metric), "step": int(it)}, f)
+        return True
+
     def restore(
-        self, trainer: Trainer, scheduler: ScaleScheduler, step: Optional[int] = None
+        self, trainer: Trainer, scheduler: ScaleScheduler,
+        step: Optional[int] = None, best: bool = False,
     ) -> Tuple[TrainState, int]:
         """Restore into a freshly-initialized state template (shapes/dtypes
         from trainer.init_state)."""
         template = trainer.init_state(jax.random.key(0))
-        return self.restore_state(template, scheduler, step)
+        return self.restore_state(template, scheduler, step, best=best)
 
     def restore_state(
         self,
         template: TrainState,
         scheduler: Optional[ScaleScheduler] = None,
         step: Optional[int] = None,
+        best: bool = False,
     ) -> Tuple[TrainState, int]:
         """Trainer-free restore (predict path: no training tiles needed —
-        build the template with train.init_state_template)."""
-        step = self.latest_step() if step is None else step
-        assert step is not None, f"no checkpoint under {self.dir}"
-        restored = self.mgr.restore(
+        build the template with train.init_state_template). best=True
+        restores the highest-validation-metric checkpoint (save_best)."""
+        mgr = self._best_mgr() if best else self.mgr
+        step = mgr.latest_step() if step is None else step
+        assert step is not None, (
+            f"no {'best ' if best else ''}checkpoint under {self.dir}"
+        )
+        restored = mgr.restore(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(template),

@@ -94,6 +94,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "4 = hide the ~28ms/scalar tunnel round-trip entirely "
                         "(2.4x faster loop at steps_per_call=1)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--keep_best", action="store_true",
+                   help="also keep the single checkpoint with the best "
+                        "validation mean-F1 (under checkpoints/best/)")
+    p.add_argument("--use_best", action="store_true",
+                   help="at validate_test/predict/export, restore the "
+                        "best-validation checkpoint instead of the latest")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_balanced_sampling", action="store_true")
     p.add_argument("--max_positions_per_class", type=int, default=0,
@@ -199,7 +205,7 @@ def _fix_num_input_bands(cfg: Config, train_tiles) -> Config:
     return cfg
 
 
-def run_training(cfg: Config, log=print) -> dict:
+def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     from dynseg.checkpoint import CheckpointManager
     from dynseg.infer import validate_test
     from dynseg.sched.scheduler import ScaleScheduler
@@ -255,6 +261,8 @@ def run_training(cfg: Config, log=print) -> dict:
             f"acc={float(m['acc']):.4f} kappa={s['kappa']:.4f} "
             f"meanF1={s['mean_f1']:.4f}"
         )
+        if keep_best and ckpt.save_best(s["mean_f1"], it, st, scheduler):
+            log(f"[val @ iter {it}] new best meanF1={s['mean_f1']:.4f} saved")
 
     state = train_loop(
         cfg,
@@ -266,6 +274,14 @@ def run_training(cfg: Config, log=print) -> dict:
         on_eval=on_eval,
         checkpointer=lambda it, st, sch: ckpt.save(it, st, sch),
     )
+    final_it = int(state.step)
+    if final_it < cfg.train.niter:
+        # Preempted (SIGTERM/SIGINT): train_loop already checkpointed the
+        # exact iteration. Exit promptly — no final save under a wrong
+        # step label, no full-tile inference on a half-trained model.
+        log(f"preempted at iteration {final_it}/{cfg.train.niter}; "
+            f"exiting (resume with --resume)")
+        return {"preempted": True, "iteration": final_it}
     ckpt.save(cfg.train.niter, state, scheduler)
     log(f"training done; final scale distribution: {scheduler.summary()}")
 
@@ -281,7 +297,8 @@ def run_training(cfg: Config, log=print) -> dict:
     return scores
 
 
-def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
+def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
+                use_best: bool = False) -> dict:
     from dynseg.checkpoint import CheckpointManager
     from dynseg.infer import validate_test
     from dynseg.sched.scheduler import ScaleScheduler
@@ -304,12 +321,13 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
             num_input_bands=int(stats["num_input_bands"]),
             num_classes=int(stats["num_classes"]),
         ))
-        state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
+        state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
+                                         best=use_best)
     else:  # pre-sidecar checkpoint: template via a full Trainer
         cfg = _fix_num_input_bands(cfg, train_tiles)
         trainer = Trainer(cfg, train_tiles)
-        state, step = ckpt.restore(trainer, scheduler)
-    log(f"restored checkpoint at iteration {step}")
+        state, step = ckpt.restore(trainer, scheduler, best=use_best)
+    log(f"restored {'best ' if use_best else ''}checkpoint at iteration {step}")
     scales = None
     if scales_from_scheduler > 0:
         # Paper semantics: the trained distribution identifies the best
@@ -333,7 +351,8 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0) -> dict:
 
 
 def run_predict(cfg: Config, predict_path: str, log=print,
-                scales_from_scheduler: int = 0) -> List[str]:
+                scales_from_scheduler: int = 0,
+                use_best: bool = False) -> List[str]:
     """Production inference on UNLABELED rasters: restore the checkpoint
     (model + training normalization stats from the stats sidecar — no
     training dataset needed on disk) and write colorized prediction maps
@@ -378,8 +397,9 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     tiles.std = np.asarray(stats["std"], np.float32)
 
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
-    state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
-    log(f"restored checkpoint at iteration {step}")
+    state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
+                                     best=use_best)
+    log(f"restored {'best ' if use_best else ''}checkpoint at iteration {step}")
     scales = None
     if scales_from_scheduler > 0:
         scales = scheduler.best_scales(scales_from_scheduler)
@@ -411,7 +431,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     return paths
 
 
-def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print) -> str:
+def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
+               use_best: bool = False) -> str:
     """Export the checkpoint as a standalone serving artifact (StableHLO,
     shape-polymorphic, params + normalization baked — dynseg/export.py).
     Trainer-free: only the checkpoint dir is needed, like run_predict."""
@@ -441,8 +462,9 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print) -> str:
         num_classes=int(stats["num_classes"]),
     ))
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
-    state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
-    log(f"restored checkpoint at iteration {step}")
+    state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
+                                     best=use_best)
+    log(f"restored {'best ' if use_best else ''}checkpoint at iteration {step}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     out_dir = export_predictor(
         cfg, variables, stats["mean"], stats["std"],
@@ -496,20 +518,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.time()
     with trace(args.profile_dir or None):
         if args.operation == "training":
-            run_training(cfg, log=logger)
+            run_training(cfg, log=logger, keep_best=args.keep_best)
         elif args.operation == "predict":
             if not args.predict_path:
                 raise SystemExit("--operation predict requires --predict_path")
             run_predict(cfg, args.predict_path, log=logger,
-                        scales_from_scheduler=args.scales_from_scheduler)
+                        scales_from_scheduler=args.scales_from_scheduler,
+                        use_best=args.use_best)
         elif args.operation == "export":
             platforms = tuple(
                 s for s in args.export_platforms.replace(" ", "").split(",") if s
             )
-            run_export(cfg, platforms=platforms, log=logger)
+            run_export(cfg, platforms=platforms, log=logger,
+                       use_best=args.use_best)
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
-                        scales_from_scheduler=args.scales_from_scheduler)
+                        scales_from_scheduler=args.scales_from_scheduler,
+                        use_best=args.use_best)
     logger.log(f"total time: {time.time() - t0:.1f}s")
     logger.close()
     return 0

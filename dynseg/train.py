@@ -470,10 +470,28 @@ def train_loop(
     other, so the scheduler still gets per-batch feedback (a few batches
     stale — same spirit as the reference's one-step-stale scores) while
     the loop runs at device speed. Measured: 62.7 -> ~12 ms/step at
-    steps_per_call=1."""
+    steps_per_call=1.
+
+    Preemption safety (beyond the reference's "restart from the last
+    periodic save"): when a checkpointer is given, SIGTERM/SIGINT set a
+    flag checked once per launch — the loop drains pending scheduler
+    scores, checkpoints the exact iteration, and returns cleanly, so a
+    maintenance-event eviction loses zero completed steps."""
     import collections
+    import signal as _signal
 
     niter = cfg.train.niter if niter is None else niter
+    stop_sig = {"num": None}
+    prev_handlers = {}
+    if checkpointer is not None:
+        def _on_signal(signum, frame):
+            stop_sig["num"] = signum
+
+        for s in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                prev_handlers[s] = _signal.signal(s, _on_signal)
+            except ValueError:  # not the main thread (tests, embedders)
+                pass
     k = cfg.train.steps_per_call
     depth = max(1, cfg.train.metric_fetch_depth)
     rng = jax.random.key(cfg.train.seed + 1)
@@ -486,43 +504,58 @@ def train_loop(
     t0 = time.perf_counter()
     patches = 0
     it = start_iter
-    while it < niter:
-        scale = scheduler.select()
-        rng, dr = jax.random.split(rng)
-        state, metrics = trainer.train_step(state, scale, dr)
-        prev_it, it = it, it + k
-        patches += k * trainer.batch_size_for(scale)
+    # try/finally so the previous signal handlers are restored on EVERY
+    # exit path (normal completion, preemption stop, exception).
+    try:
+        while it < niter:
+            if stop_sig["num"] is not None:
+                while pending:
+                    consume_one()
+                checkpointer(it, state, scheduler)
+                log(
+                    f"signal {stop_sig['num']} received: checkpointed at "
+                    f"iteration {it}, stopping (resume with --resume)"
+                )
+                return state
+            scale = scheduler.select()
+            rng, dr = jax.random.split(rng)
+            state, metrics = trainer.train_step(state, scale, dr)
+            prev_it, it = it, it + k
+            patches += k * trainer.batch_size_for(scale)
 
-        for m in (metrics["loss"], metrics["acc"]):
-            try:
-                m.copy_to_host_async()
-            except AttributeError:  # non-jax array (tests with fakes)
-                pass
-        pending.append((scale, metrics))
-        while len(pending) > depth:
-            consume_one()
-
-        def crossed(every: int) -> bool:
-            return prev_it // every != it // every
-
-        if crossed(log_every):
-            m = {key: float(v) for key, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            log(
-                f"iter {it}/{niter} scale={scale} loss={m['loss']:.4f} "
-                f"acc={m['acc']:.4f} patches/s={patches / max(dt, 1e-9):.1f} "
-                f"| {scheduler.summary()}"
-            )
-            t0 = time.perf_counter()
-            patches = 0
-        if on_eval is not None and crossed(cfg.train.eval_every):
-            on_eval(it, state)
-        if checkpointer is not None and crossed(cfg.train.checkpoint_every):
-            # Drain pending scores first so the checkpointed scheduler
-            # state reflects every completed batch (resume parity).
-            while pending:
+            for m in (metrics["loss"], metrics["acc"]):
+                try:
+                    m.copy_to_host_async()
+                except AttributeError:  # non-jax array (tests with fakes)
+                    pass
+            pending.append((scale, metrics))
+            while len(pending) > depth:
                 consume_one()
-            checkpointer(it, state, scheduler)
-    while pending:
-        consume_one()
-    return state
+
+            def crossed(every: int) -> bool:
+                return prev_it // every != it // every
+
+            if crossed(log_every):
+                m = {key: float(v) for key, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                log(
+                    f"iter {it}/{niter} scale={scale} loss={m['loss']:.4f} "
+                    f"acc={m['acc']:.4f} patches/s={patches / max(dt, 1e-9):.1f} "
+                    f"| {scheduler.summary()}"
+                )
+                t0 = time.perf_counter()
+                patches = 0
+            if on_eval is not None and crossed(cfg.train.eval_every):
+                on_eval(it, state)
+            if checkpointer is not None and crossed(cfg.train.checkpoint_every):
+                # Drain pending scores first so the checkpointed scheduler
+                # state reflects every completed batch (resume parity).
+                while pending:
+                    consume_one()
+                checkpointer(it, state, scheduler)
+        while pending:
+            consume_one()
+        return state
+    finally:
+        for s, h in prev_handlers.items():
+            _signal.signal(s, h)

@@ -228,3 +228,31 @@ def test_resume_continues_iteration(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert sched2.state_dict()["scores"] == sched.state_dict()["scores"]
+
+
+def test_keep_best_and_use_best_flow(tmp_path):
+    """--keep_best saves the top-validation checkpoint during training;
+    --use_best restores it for validate_test."""
+    from dynseg.checkpoint import CheckpointManager
+
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "12",
+        "--eval_every", "6",
+        "--keep_best",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=12)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, eval_every=6))
+    run_training(cfg, log=lambda *_: None, keep_best=True)
+    rec = CheckpointManager(str(tmp_path)).best_record()
+    assert rec is not None and 0 < rec["step"] <= 12
+    s_best = run_testing(cfg, log=lambda *_: None, use_best=True)
+    assert s_best["mean_f1"] > 0  # restored + predicted end to end

@@ -217,3 +217,74 @@ def test_compile_buckets_does_not_mutate_state(tiles):
     after = jax.tree.leaves(state.params)
     for a, b in zip(jax.tree.leaves(before), after):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_sigterm_checkpoints_and_stops(tiles, tmp_path):
+    """Preemption safety: SIGTERM mid-loop must drain scheduler scores,
+    checkpoint the current iteration, and return cleanly."""
+    import signal
+    import threading
+
+    from dynseg.checkpoint import CheckpointManager
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, niter=100_000, checkpoint_every=10_000_000,
+            output_path=str(tmp_path)),
+    )
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    ckpt = CheckpointManager(str(tmp_path))
+    logs = []
+
+    timer = threading.Timer(1.0, signal.raise_signal, (signal.SIGTERM,))
+    timer.start()
+    try:
+        state = train_loop(
+            cfg, trainer, state, sched, log_every=10_000_000,
+            log=logs.append,
+            checkpointer=lambda it, st, sc: ckpt.save(it, st, sc),
+        )
+    finally:
+        timer.cancel()
+    it = int(state.step)
+    assert 0 < it < cfg.train.niter  # stopped early, made progress
+    assert ckpt.latest_step() == it  # checkpointed exactly where it stopped
+    assert any("signal" in m for m in logs)
+    # handler restored: raising SIGTERM again must not be swallowed
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_keep_best_checkpoint_roundtrip(tiles, tmp_path):
+    """save_best keeps only the top-metric checkpoint; restore_state
+    (best=True) returns it even after later (worse) evals and later
+    periodic saves."""
+    from dynseg.checkpoint import CheckpointManager
+
+    cfg = tiny_config()
+    trainer = Trainer(cfg, tiles[0])
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    ckpt = CheckpointManager(str(tmp_path))
+
+    s1 = trainer.init_state(jax.random.key(1))
+    s2 = trainer.init_state(jax.random.key(2))
+    s3 = trainer.init_state(jax.random.key(3))
+
+    assert ckpt.save_best(0.50, 10, s1, sched)
+    assert not ckpt.save_best(0.40, 20, s2, sched)  # worse: kept out
+    assert ckpt.save_best(0.70, 30, s3, sched)
+    ckpt.save(40, s2, sched)  # a later periodic save must not shadow best
+
+    rec = ckpt.best_record()
+    assert rec == {"metric": 0.70, "step": 30}
+    restored, step = ckpt.restore_state(
+        trainer.init_state(jax.random.key(0)), best=True)
+    assert step == 30
+    l3 = jax.tree_util.tree_leaves(s3.params)[0]
+    lr = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(lr))
+    # latest (non-best) restore still returns the periodic save
+    _, step_latest = ckpt.restore_state(trainer.init_state(jax.random.key(0)))
+    assert step_latest == 40
