@@ -128,6 +128,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hbm_budget_gb", type=float, default=10.0,
                    help="test sets above this stream tile-by-tile from "
                         "host instead of living in device HBM")
+    p.add_argument("--eval_eroded_boundaries", type=int, default=0,
+                   help="also report metrics vs ground truth with class "
+                        "boundaries eroded by this radius (ISPRS "
+                        "benchmark protocol uses ~3 px)")
     p.add_argument("--export_platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for "
                         "--operation export (jax.export platforms)")
@@ -183,6 +187,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             scan_chunk=args.scan_chunk,
             dense_scan_chunk=args.dense_scan_chunk,
             hbm_budget_gb=args.hbm_budget_gb,
+            eroded_boundary_radius=args.eval_eroded_boundaries,
         ),
         data=DataConfig(
             dataset=args.dataset,
@@ -487,6 +492,12 @@ def _write_scores(cfg: Config, scores: dict) -> None:
         "mean_f1": scores["mean_f1"],
         "f1": list(map(float, scores["f1"])),
     }
+    if "eroded" in scores:  # ISPRS boundary-eroded protocol numbers
+        es = scores["eroded"]
+        out["eroded"] = {
+            "oa": es["oa"], "kappa": es["kappa"], "mean_f1": es["mean_f1"],
+            "f1": list(map(float, es["f1"])),
+        }
     path = os.path.join(cfg.train.output_path, "scores.json")
     os.makedirs(cfg.train.output_path, exist_ok=True)
     with open(path, "w") as f:

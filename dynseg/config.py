@@ -146,6 +146,10 @@ class InferConfig:
     # Test sets above this budget stream tile-by-tile from host instead
     # of living in HBM (peak device memory = one padded tile + buffers).
     hbm_budget_gb: float = 10.0
+    # ISPRS benchmark protocol: also report metrics against ground truth
+    # with class boundaries eroded by this Chebyshev radius (~3 px on
+    # Vaihingen/Potsdam). 0 = full-GT metrics only (reference default).
+    eroded_boundary_radius: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

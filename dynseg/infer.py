@@ -33,7 +33,7 @@ import numpy as np
 
 from dynseg.config import Config
 from dynseg.data.tiles import IGNORE_LABEL, TileSet, mirror_pad
-from dynseg.metrics import scores_from_confusion
+from dynseg.metrics import erode_boundaries, scores_from_confusion
 from dynseg.models.dilated import build_model
 
 
@@ -441,6 +441,8 @@ def validate_test(
         )
     nc = cfg.model.num_classes
     cm = np.zeros((nc, nc), np.int64)
+    erode_r = int(cfg.infer.eroded_boundary_radius)
+    cm_eroded = np.zeros((nc, nc), np.int64) if erode_r > 0 else None
     preds: List[np.ndarray] = []
 
     # Pipeline: tile t+1's launches are enqueued before tile t's map is
@@ -456,16 +458,22 @@ def validate_test(
         preds.append(pred)
         h, w = (int(x) for x in test_tiles.valid_hw[t])
         gt = test_tiles.masks[t, :h, :w]
-        valid = gt != IGNORE_LABEL
-        idx = gt[valid] * nc + pred[valid]
-        cm += np.bincount(idx.ravel(), minlength=nc * nc).reshape(nc, nc)
-        tile_scores = scores_from_confusion(
-            np.bincount(idx.ravel(), minlength=nc * nc).reshape(nc, nc)
-        )
+
+        def tile_cm(mask):
+            valid = mask != IGNORE_LABEL
+            idx = mask[valid] * nc + pred[valid]
+            return np.bincount(idx.ravel(), minlength=nc * nc).reshape(nc, nc)
+
+        tcm = tile_cm(gt)
+        cm += tcm
+        tile_scores = scores_from_confusion(tcm)
         log(
             f"tile {t}: OA={tile_scores['oa']:.4f} kappa={tile_scores['kappa']:.4f} "
             f"meanF1={tile_scores['mean_f1']:.4f}"
         )
+        if cm_eroded is not None:
+            # ISPRS protocol: score against boundary-eroded GT too.
+            cm_eroded += tile_cm(erode_boundaries(gt, erode_r))
     scores = scores_from_confusion(cm)
     scores["predictions"] = preds
     log(
@@ -473,4 +481,13 @@ def validate_test(
         f"meanF1={scores['mean_f1']:.4f} "
         f"F1={np.array2string(scores['f1'], precision=4)}"
     )
+    if cm_eroded is not None:
+        es = scores_from_confusion(cm_eroded)
+        scores["eroded"] = es
+        log(
+            f"TOTAL (boundaries eroded {erode_r}px, ISPRS protocol): "
+            f"OA={es['oa']:.4f} kappa={es['kappa']:.4f} "
+            f"meanF1={es['mean_f1']:.4f} "
+            f"F1={np.array2string(es['f1'], precision=4)}"
+        )
     return scores

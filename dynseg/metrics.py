@@ -53,7 +53,8 @@ def scores_from_confusion(cm: np.ndarray) -> Dict[str, object]:
     cm = np.asarray(cm, dtype=np.float64)
     total = cm.sum()
     if total == 0:
-        return {"oa": 0.0, "kappa": 0.0, "f1": np.zeros(cm.shape[0]), "mean_f1": 0.0}
+        return {"oa": 0.0, "kappa": 0.0, "f1": np.zeros(cm.shape[0]),
+                "mean_f1": 0.0, "confusion": cm.astype(np.int64)}
     diag = np.diag(cm)
     oa = diag.sum() / total
     # Cohen's kappa: (po - pe) / (1 - pe)
@@ -75,6 +76,53 @@ def scores_from_confusion(cm: np.ndarray) -> Dict[str, object]:
         "mean_f1": mean_f1,
         "confusion": cm.astype(np.int64),
     }
+
+
+def _dilate8(b: np.ndarray) -> np.ndarray:
+    """One 8-neighborhood (Chebyshev radius 1) dilation of a boolean map,
+    edge-clipped (no wraparound)."""
+    out = b.copy()
+    out[1:, :] |= b[:-1, :]
+    out[:-1, :] |= b[1:, :]
+    out[:, 1:] |= b[:, :-1]
+    out[:, :-1] |= b[:, 1:]
+    out[1:, 1:] |= b[:-1, :-1]
+    out[1:, :-1] |= b[:-1, 1:]
+    out[:-1, 1:] |= b[1:, :-1]
+    out[:-1, :-1] |= b[1:, 1:]
+    return out
+
+
+def erode_boundaries(mask: np.ndarray, radius: int,
+                     ignore: int = IGNORE_LABEL) -> np.ndarray:
+    """ISPRS benchmark protocol: the Vaihingen/Potsdam servers also score
+    against ground truth whose class boundaries are eroded (~3 px), so
+    labeling ambiguity at object outlines doesn't dominate the metrics
+    (SURVEY.md §6 — the reference's published OA numbers are on this
+    protocol). Returns a copy of `mask` with every pixel within Chebyshev
+    distance `radius` of a class boundary set to `ignore`.
+
+    A boundary pixel is one with a different-labeled 8-neighbor
+    (IGNORE_LABEL counts as different — unlabeled regions also erode).
+    Host numpy: runs once per tile at evaluation time, off the hot path.
+    """
+    if radius <= 0:
+        return mask
+    m = np.asarray(mask)
+    b = np.zeros(m.shape, bool)
+    b[1:, :] |= m[1:, :] != m[:-1, :]
+    b[:-1, :] |= m[:-1, :] != m[1:, :]
+    b[:, 1:] |= m[:, 1:] != m[:, :-1]
+    b[:, :-1] |= m[:, :-1] != m[:, 1:]
+    b[1:, 1:] |= m[1:, 1:] != m[:-1, :-1]
+    b[:-1, :-1] |= m[:-1, :-1] != m[1:, 1:]
+    b[1:, :-1] |= m[1:, :-1] != m[:-1, 1:]
+    b[:-1, 1:] |= m[:-1, 1:] != m[1:, :-1]
+    for _ in range(radius - 1):
+        b = _dilate8(b)
+    out = m.copy()
+    out[b] = ignore
+    return out
 
 
 def batch_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -241,3 +241,35 @@ def test_validate_test_reports_metrics(rng):
     assert "predictions" in scores and scores["predictions"][0].shape == (24, 24)
     assert any("TOTAL" in l for l in lines)
     assert int(scores["confusion"].sum()) == 24 * 24
+
+
+def test_validate_test_eroded_boundary_metrics(rng):
+    """--eval_eroded_boundaries: the ISPRS-protocol block must score
+    against boundary-eroded GT — fewer pixels counted, metrics reported
+    under scores['eroded']."""
+    import dataclasses
+
+    from dynseg.metrics import erode_boundaries
+    from dynseg.data.tiles import IGNORE_LABEL
+
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, eroded_boundary_radius=2))
+    ts = _tileset(rng, h=24, w=24)
+    # blocky GT so boundary erosion leaves interior pixels standing
+    blocky = np.kron(
+        (rng.uniform(size=(3, 3)) * 3).astype(np.int32),
+        np.ones((8, 8), np.int32),
+    )
+    ts.masks[0, :24, :24] = blocky
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    lines = []
+    scores = validate_test(cfg, variables, ts, log=lines.append)
+    assert "eroded" in scores
+    n_full = int(scores["confusion"].sum())
+    n_eroded = int(scores["eroded"]["confusion"].sum())
+    expected = int(np.sum(
+        erode_boundaries(np.asarray(ts.masks[0]), 2) != IGNORE_LABEL))
+    assert n_eroded == expected < n_full
+    assert any("eroded" in l for l in lines)

@@ -52,3 +52,36 @@ def test_batch_accuracy_masks_ignore():
 def test_empty_confusion():
     s = scores_from_confusion(np.zeros((3, 3)))
     assert s["oa"] == 0.0 and s["kappa"] == 0.0
+
+
+def test_erode_boundaries_bruteforce_golden():
+    """erode_boundaries == brute-force 'ignore every pixel with a
+    different-labeled pixel within Chebyshev radius r'."""
+    from dynseg.data.tiles import IGNORE_LABEL
+    from dynseg.metrics import erode_boundaries
+
+    rng = np.random.default_rng(7)
+    mask = (rng.uniform(size=(21, 17)) * 3).astype(np.int32)
+    # blocky regions so boundaries are sparse
+    mask = np.kron(mask[::3, ::3], np.ones((3, 3), np.int32))[:21, :17]
+    for r in (1, 2, 3):
+        got = erode_boundaries(mask, r)
+        h, w = mask.shape
+        want = mask.copy()
+        for i in range(h):
+            for j in range(w):
+                lo_i, hi_i = max(0, i - r), min(h, i + r + 1)
+                lo_j, hi_j = max(0, j - r), min(w, j + r + 1)
+                if (mask[lo_i:hi_i, lo_j:hi_j] != mask[i, j]).any():
+                    want[i, j] = IGNORE_LABEL
+        np.testing.assert_array_equal(got, want), r
+
+
+def test_erode_boundaries_edge_cases():
+    from dynseg.metrics import erode_boundaries
+
+    uniform = np.full((8, 8), 2, np.int32)
+    np.testing.assert_array_equal(erode_boundaries(uniform, 3), uniform)
+    m = np.arange(9, dtype=np.int32).reshape(3, 3)
+    np.testing.assert_array_equal(erode_boundaries(m, 0), m)  # radius 0 = no-op
+    assert erode_boundaries(m, 1) is not m  # always a copy when r > 0
