@@ -46,7 +46,13 @@ from dynseg.export import ExportedPredictor
 
 
 def _mirror_pad(img: np.ndarray, pad: int) -> np.ndarray:
-    return np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    """Reflect-pad; applied in steps because numpy's reflect mode caps a
+    single application at dim-1 (tiny rasters with a large halo)."""
+    while pad > 0:
+        step = min(pad, img.shape[0] - 1, img.shape[1] - 1)
+        img = np.pad(img, ((step, step), (step, step), (0, 0)), mode="reflect")
+        pad -= step
+    return img
 
 
 class ServingEngine:
@@ -67,15 +73,33 @@ class ServingEngine:
         self._lock = threading.Lock()  # artifact .call is not thread-safe
 
     # -- estimators ---------------------------------------------------- #
-    def dense(self, img: np.ndarray) -> np.ndarray:
-        """One whole-raster forward (mirror-padded halo so edge pixels
-        see context, like dynseg.infer dense mode)."""
+    def dense(self, img: np.ndarray, block: int = 256) -> np.ndarray:
+        """Blockwise whole-raster forward (dynseg.infer dense mode): halo'd
+        fixed-shape blocks reproduce the single whole-raster forward
+        exactly (the nets are fully convolutional and the halo covers the
+        receptive field), but peak memory stays one block — a 10k x 10k
+        production raster cannot be a single forward's activation."""
         halo = int(self.p.manifest["inference"]["dense_halo"])
         h, w = img.shape[:2]
-        x = _mirror_pad(img.astype(np.float32), halo)[None]
-        with self._lock:
-            probs = self.p.probs(x)[0]
-        return probs[halo : halo + h, halo : halo + w]
+        big = _mirror_pad(img.astype(np.float32), halo)
+        b = max(8, min(block, h, w))
+        probs = np.zeros((h, w, self.nc), np.float32)
+
+        def starts(extent: int) -> List[int]:
+            ss = list(range(0, max(1, extent - b + 1), b))
+            if ss[-1] + b < extent:
+                ss.append(extent - b)
+            return ss
+
+        ext = b + 2 * halo
+        for r in starts(h):
+            for c in starts(w):
+                x = big[r : r + ext, c : c + ext][None]
+                with self._lock:
+                    out = self.p.probs(x)[0]
+                probs[r : r + b, c : c + b] = out[halo : halo + b,
+                                                  halo : halo + b]
+        return probs
 
     def window(self, img: np.ndarray,
                scales: Optional[List[int]] = None) -> np.ndarray:

@@ -131,3 +131,40 @@ def test_http_endpoints(served, rng):
         srv.shutdown()
         srv.server_close()
         th.join(timeout=5)
+
+
+def test_dense_blockwise_exact(served, rng):
+    """Blockwise dense (halo'd fixed blocks) must equal the single
+    whole-raster forward — and be block-size invariant. Requires the
+    manifest halo >= the net's receptive-field radius (~27 for
+    dilated_grsl), like Inferencer's dense mode."""
+    cfg, model, variables, mean, std, out = served
+    pred = ExportedPredictor.load(out)
+    pred.manifest["inference"]["dense_halo"] = 32  # >= RF radius
+    eng = ServingEngine(pred)
+    h, w = 70, 61
+    img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+
+    p_small = eng.dense(img, block=16)
+    p_big = eng.dense(img, block=1024)  # clamps to raster size: one block
+    np.testing.assert_allclose(p_small, p_big, atol=1e-5, rtol=1e-4)
+
+    # golden: whole mirror-padded forward through the live model
+    halo = 32
+    big = np.pad(img, ((halo, halo), (halo, halo), (0, 0)), mode="reflect")
+    norm = (jnp.asarray(big[None]) - mean) / std
+    ref = jax.nn.softmax(
+        model.apply(variables, norm, train=False).astype(jnp.float32), -1
+    )[0, halo:halo + h, halo:halo + w]
+    np.testing.assert_allclose(p_small, np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_mirror_pad_huge_halo(rng):
+    """_mirror_pad must survive a halo larger than the raster (numpy's
+    reflect caps one application at dim-1)."""
+    from dynseg.serve import _mirror_pad
+
+    img = rng.uniform(size=(5, 4, 2)).astype(np.float32)
+    out = _mirror_pad(img, 11)
+    assert out.shape == (27, 26, 2)
+    np.testing.assert_array_equal(out[11:16, 11:15], img)
