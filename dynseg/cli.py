@@ -51,12 +51,14 @@ def build_argparser() -> argparse.ArgumentParser:
     # --- reference-compatible flags (SURVEY.md C1) ---
     p.add_argument("--operation", required=True,
                    choices=["training", "testing", "validate_test", "predict",
-                            "export"],
+                            "export", "serve"],
                    help="training; full-tile prediction with metrics "
                         "(testing/validate_test are synonyms); predict = "
                         "inference on unlabeled rasters (--predict_path); "
                         "export = standalone StableHLO serving artifact "
-                        "from the checkpoint (dynseg/export.py)")
+                        "from the checkpoint (dynseg/export.py); serve = "
+                        "HTTP server over <output_path>/export "
+                        "(dynseg/serve.py)")
     p.add_argument("--predict_path", default="",
                    help="file or directory of rasters for --operation predict")
     p.add_argument("--dataset", default="synthetic", choices=cfgmod.DATASETS)
@@ -135,6 +137,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--export_platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for "
                         "--operation export (jax.export platforms)")
+    p.add_argument("--serve_host", default="127.0.0.1")
+    p.add_argument("--serve_port", type=int, default=8400)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler device trace here (XProf)")
@@ -542,6 +546,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             run_export(cfg, platforms=platforms, log=logger,
                        use_best=args.use_best)
+        elif args.operation == "serve":
+            from dynseg.serve import main as serve_main
+
+            export_dir = os.path.join(cfg.train.output_path, "export")
+            if not os.path.isdir(export_dir):
+                raise SystemExit(
+                    f"no export under {export_dir} — run "
+                    f"--operation export first"
+                )
+            return serve_main([
+                "--export_dir", export_dir,
+                "--host", args.serve_host,
+                "--port", str(args.serve_port),
+                "--window_batch", str(args.window_batch),
+            ])
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler,

@@ -168,3 +168,33 @@ def test_mirror_pad_huge_halo(rng):
     out = _mirror_pad(img, 11)
     assert out.shape == (27, 26, 2)
     np.testing.assert_array_equal(out[11:16, 11:15], img)
+
+
+def test_grayscale_single_band(tmp_path, rng):
+    """A 1-band checkpoint must serve 2-D grayscale rasters (the engine
+    adds the channel axis)."""
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_grsl", num_classes=2,
+                          num_input_bands=1, width_multiplier=0.125),
+        sched=SchedulerConfig(distribution_type="single_fixed", values=(9,)),
+        train=TrainConfig(batch_size=4, seed=0),
+        infer=InferConfig(scales=(9,), window_batch=8, dense_halo=16),
+        data=DataConfig(dataset="synthetic"),
+    )
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(6),
+                           jnp.zeros((1, 9, 9, 1), jnp.float32), train=False)
+    export_predictor(cfg, variables, np.array([50.0], np.float32),
+                     np.array([25.0], np.float32), str(tmp_path),
+                     platforms=("cpu",))
+    eng = ServingEngine(ExportedPredictor.load(str(tmp_path)), window_batch=8)
+    img = rng.uniform(0, 255, size=(18, 20)).astype(np.float32)  # 2-D
+    labels, probs = eng.predict(img, mode="window")
+    assert labels.shape == (18, 20) and probs.shape == (18, 20, 2)
+
+
+def test_cli_operation_serve_requires_export(tmp_path):
+    from dynseg.cli import main as cli_main
+
+    with pytest.raises(SystemExit, match="no export"):
+        cli_main(["--operation", "serve", "--output_path", str(tmp_path)])
