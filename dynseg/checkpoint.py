@@ -86,13 +86,18 @@ class CheckpointManager:
         if rec is not None and float(metric) <= float(rec["metric"]):
             return False
         mgr = self._best_mgr()
-        mgr.save(
+        saved = mgr.save(
             it,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 scheduler=ocp.args.JsonSave(_jsonable(scheduler.state_dict())),
             ),
         )
+        if not saved:
+            # orbax silently refuses steps <= the latest saved step (e.g.
+            # a stale best/ from a previous run in the same output_path).
+            # Never let best.json claim weights that were not written.
+            return False
         mgr.wait_until_finished()
         with open(os.path.join(self.dir, "best.json"), "w") as f:
             json.dump({"metric": float(metric), "step": int(it)}, f)

@@ -47,9 +47,13 @@ from dynseg.export import ExportedPredictor
 
 def _mirror_pad(img: np.ndarray, pad: int) -> np.ndarray:
     """Reflect-pad; applied in steps because numpy's reflect mode caps a
-    single application at dim-1 (tiny rasters with a large halo)."""
+    single application at dim-1 (tiny rasters with a large halo). A
+    1-pixel dimension cannot reflect at all — pad the remainder by edge
+    replication instead of spinning."""
     while pad > 0:
         step = min(pad, img.shape[0] - 1, img.shape[1] - 1)
+        if step == 0:
+            return np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
         img = np.pad(img, ((step, step), (step, step), (0, 0)), mode="reflect")
         pad -= step
     return img
@@ -82,7 +86,7 @@ class ServingEngine:
         halo = int(self.p.manifest["inference"]["dense_halo"])
         h, w = img.shape[:2]
         big = _mirror_pad(img.astype(np.float32), halo)
-        b = max(8, min(block, h, w))
+        b = max(1, min(block, h, w))
         probs = np.zeros((h, w, self.nc), np.float32)
 
         def starts(extent: int) -> List[int]:
@@ -105,6 +109,10 @@ class ServingEngine:
                scales: Optional[List[int]] = None) -> np.ndarray:
         """Reference-parity multi-scale sliding-window softmax voting
         (SURVEY.md C15) in host numpy around fixed-shape artifact calls."""
+        from dynseg.infer import window_origins  # ONE origin grid for
+        # the server and the on-device Inferencer — parity by sharing,
+        # not by a copy that can drift.
+
         scales = [int(s) for s in (scales or self.scales)]
         h, w = img.shape[:2]
         pad = max(scales)
@@ -114,32 +122,25 @@ class ServingEngine:
         B = self.window_batch
         for s in scales:
             stride = min(s, max(1, int(round(s * self.stride_fraction))))
-            rows = self._origins(pad, pad + h, s, stride, big.shape[0] - s)
-            cols = self._origins(pad, pad + w, s, stride, big.shape[1] - s)
+            rows = window_origins(pad, pad + h, s, stride, big.shape[0] - s)
+            cols = window_origins(pad, pad + w, s, stride, big.shape[1] - s)
             origins = [(r, c) for r in rows for c in cols]
             for lo in range(0, len(origins), B):
                 chunk = origins[lo : lo + B]
-                n = len(chunk)
+                # zero rows past len(chunk) are padding: forwarded (fixed
+                # shape per (s, B) => one compile) but never accumulated.
                 batch = np.zeros((B, s, s, self.bands), np.float32)
                 for i, (r, c) in enumerate(chunk):
                     batch[i] = big[r : r + s, c : c + s]
                 with self._lock:
-                    probs = self.p.probs(batch)  # fixed shape per (s, B)
+                    probs = self.p.probs(batch)
                 for i, (r, c) in enumerate(chunk):
-                    if i < n:
-                        prob[r : r + s, c : c + s] += probs[i]
-                        cnt[r : r + s, c : c + s] += 1.0
+                    prob[r : r + s, c : c + s] += probs[i]
+                    cnt[r : r + s, c : c + s] += 1.0
         valid = prob[pad : pad + h, pad : pad + w]
         cval = np.maximum(cnt[pad : pad + h, pad : pad + w], 1e-9)
         return valid / cval
 
-    @staticmethod
-    def _origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[int]:
-        first = min(max(0, lo - size // 2), lim)
-        out = list(range(first, min(hi, lim + 1), stride))
-        while out[-1] + size < hi and out[-1] < lim:
-            out.append(min(lim, out[-1] + stride))
-        return [r for r in out if r < hi] or [min(lim, max(0, lo))]
 
     # -- request-level API ---------------------------------------------- #
     def predict(self, img: np.ndarray, mode: str = "window",
@@ -218,12 +219,12 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
             url = urlparse(self.path)
             if url.path != "/predict":
                 return self._json(404, {"error": f"no route {url.path}"})
-            q = parse_qs(url.query)
-            mode = q.get("mode", ["window"])[0]
-            output = q.get("output", ["labels"])[0]
-            scales = ([int(s) for s in q["scales"][0].split(",")]
-                      if "scales" in q else None)
             try:
+                q = parse_qs(url.query)
+                mode = q.get("mode", ["window"])[0]
+                output = q.get("output", ["labels"])[0]
+                scales = ([int(s) for s in q["scales"][0].split(",")]
+                          if "scales" in q else None)
                 n = int(self.headers.get("Content-Length", 0))
                 img = _decode_body(self.rfile.read(n),
                                    self.headers.get("Content-Type", ""))

@@ -100,6 +100,12 @@ def main() -> int:
                         cfg.sched, favor_high_score=favor),
                 )
                 scores = run_training(cfg, log=lambda *_: None)
+                if scores.get("preempted"):
+                    # Ctrl-C lands here via train_loop's graceful stop:
+                    # abort the sweep with whatever completed so far.
+                    print("interrupted — writing partial ranking")
+                    _write(results, args.out)
+                    return 130
                 f1s.append(float(scores["mean_f1"]))
         mean = sum(f1s) / len(f1s)
         combo = {"favor_high_score": favor, "update_type": upd,
@@ -108,8 +114,15 @@ def main() -> int:
         results.append(combo)
         print(json.dumps(combo))
 
+    _write(results, args.out)
+    return 0
+
+
+def _write(results, out_path: str) -> None:
+    if not results:
+        return
     results.sort(key=lambda r: -r["mean_f1"])
-    with open(args.out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     best = results[0]
     print(f"\nBEST bracket: favor_high_score={best['favor_high_score']} "
@@ -117,8 +130,7 @@ def main() -> int:
           f"leaky_slope={best['leaky_slope']} "
           f"use_batch_norm={best['use_batch_norm']} "
           f"meanF1={best['mean_f1']}")
-    print(f"full ranking -> {args.out}")
-    return 0
+    print(f"full ranking -> {out_path}")
 
 
 if __name__ == "__main__":

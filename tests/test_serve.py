@@ -198,3 +198,40 @@ def test_cli_operation_serve_requires_export(tmp_path):
 
     with pytest.raises(SystemExit, match="no export"):
         cli_main(["--operation", "serve", "--output_path", str(tmp_path)])
+
+
+def test_degenerate_rasters_and_bad_params(served, rng):
+    """Review regressions: 1-px-wide rasters must not hang padding, tiny
+    rasters must survive dense blocking, malformed query params must come
+    back as HTTP 400 (not a closed socket)."""
+    from dynseg.serve import _mirror_pad
+
+    # 1-pixel dimension: reflect impossible -> edge-pad, never spin
+    thin = rng.uniform(size=(1, 6, 3)).astype(np.float32)
+    out = _mirror_pad(thin, 4)
+    assert out.shape == (9, 14, 3)
+
+    _, _, _, _, _, outdir = served
+    eng = ServingEngine(ExportedPredictor.load(outdir), window_batch=8)
+    tiny = rng.uniform(0, 255, size=(5, 40, 3)).astype(np.float32)
+    labels, probs = eng.predict(tiny, mode="dense")   # b clamps to 5
+    assert labels.shape == (5, 40)
+
+    srv = make_server(outdir, port=0, window_batch=8)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        buf = io.BytesIO()
+        np.save(buf, tiny)
+        req = urllib.request.Request(
+            f"{base}/predict?scales=abc", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        th.join(timeout=5)

@@ -288,3 +288,25 @@ def test_keep_best_checkpoint_roundtrip(tiles, tmp_path):
     # latest (non-best) restore still returns the periodic save
     _, step_latest = ckpt.restore_state(trainer.init_state(jax.random.key(0)))
     assert step_latest == 40
+
+
+def test_save_best_refuses_stale_step(tiles, tmp_path):
+    """orbax silently skips saves at steps <= the latest best step; the
+    best.json record must never claim weights that were not written."""
+    from dynseg.checkpoint import CheckpointManager
+
+    cfg = tiny_config()
+    trainer = Trainer(cfg, tiles[0])
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    ckpt = CheckpointManager(str(tmp_path))
+    s30 = trainer.init_state(jax.random.key(1))
+    assert ckpt.save_best(0.5, 30, s30, sched)
+    # fresh run in the same output dir evaluates at an EARLIER step with a
+    # better metric: orbax refuses step 10 <= 30 — record must not change
+    ckpt2 = CheckpointManager(str(tmp_path))
+    s10 = trainer.init_state(jax.random.key(2))
+    assert not ckpt2.save_best(0.9, 10, s10, sched)
+    assert ckpt2.best_record() == {"metric": 0.5, "step": 30}
+    restored, step = ckpt2.restore_state(
+        trainer.init_state(jax.random.key(0)), best=True)
+    assert step == 30
