@@ -53,37 +53,65 @@ def export_predictor(
     platforms: Sequence[str] = ("tpu", "cpu"),
     extra_meta: Optional[dict] = None,
 ) -> str:
-    """Serialize `raw pixels -> softmax probs` with everything baked in.
+    """Serialize the predictor with everything baked in. THREE entry
+    points are exported (all b/h/w-symbolic), because on a remote/tunneled
+    accelerator the serving bottleneck is host<->device transfer, not
+    compute (docs/DESIGN.md "throughput model"):
 
-    The exported signature is f32[b, h, w, bands] -> f32[b, h, w, classes]
-    with b/h/w symbolic. Returns the export directory path.
+      probs          f32[b,h,w,C] -> f32[b,h,w,nc]   generic / window voting
+      probs_u8       u8 [b,h,w,C] -> f32[b,h,w,nc]   4x smaller upload for
+                                                      PNG-native rasters
+      dense_labels   u8 [b,h,w,C] -> u8[b,h-2k,w-2k]  k = dense_halo; argmax
+                                                      on device, halo cropped
+                                                      — ~100x smaller download
+                                                      for the labels fast path
+
+    Returns the export directory path.
     """
     from jax import export as jexport
 
     model = build_model(cfg.model)
     mean_c = jnp.asarray(np.asarray(mean, np.float32))
     std_c = jnp.asarray(np.asarray(std, np.float32))
+    halo = int(cfg.infer.dense_halo)
 
     def probs(x):
+        x = x.astype(jnp.float32)
         logits = model.apply(variables, (x - mean_c) / std_c, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    b, h, w = jexport.symbolic_shape("b, h, w")
-    spec = jax.ShapeDtypeStruct(
-        (b, h, w, cfg.model.num_input_bands), jnp.float32
-    )
-    exported = jexport.export(jax.jit(probs), platforms=tuple(platforms))(spec)
-    payload = exported.serialize()
+    def dense_labels(x):
+        p = probs(x)[:, halo:-halo, halo:-halo]
+        return jnp.argmax(p, axis=-1).astype(jnp.uint8)
+
+    def _export(fn, dtype):
+        b, h, w = jexport.symbolic_shape("b, h, w")
+        spec = jax.ShapeDtypeStruct(
+            (b, h, w, cfg.model.num_input_bands), dtype
+        )
+        return jexport.export(jax.jit(fn), platforms=tuple(platforms))(
+            spec).serialize()
 
     os.makedirs(out_dir, exist_ok=True)
-    art_path = os.path.join(out_dir, ARTIFACT)
-    with open(art_path, "wb") as f:
-        f.write(payload)
+    payloads = {
+        "probs": (ARTIFACT, _export(probs, jnp.float32)),
+        "probs_u8": ("predictor_u8.stablehlo", _export(probs, jnp.uint8)),
+        "dense_labels": ("dense_labels_u8.stablehlo",
+                         _export(dense_labels, jnp.uint8)),
+    }
+    arts = {}
+    for name, (fname, payload) in payloads.items():
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(payload)
+        arts[name] = {"file": fname,
+                      "sha256": hashlib.sha256(payload).hexdigest()}
 
     manifest = {
         "format": "jax.export/stablehlo",
-        "artifact": ARTIFACT,
-        "sha256": hashlib.sha256(payload).hexdigest(),
+        "artifact": ARTIFACT,          # back-compat alias of artifacts.probs
+        "artifacts": arts,
+        "sha256": arts["probs"]["sha256"],
+        "dense_labels_halo": halo,
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "signature": {
@@ -119,10 +147,13 @@ def export_predictor(
 class ExportedPredictor:
     """Loaded serving artifact: `.probs(raw_pixels)` / `.predict(raw)`.
 
-    Needs only jax + the artifact bytes (no model code, no checkpoint)."""
+    Needs only jax + the artifact bytes (no model code, no checkpoint).
+    The `*_device` variants return jax arrays WITHOUT forcing the value —
+    calls dispatch asynchronously, so a caller iterating blocks can
+    enqueue them all and convert at the end (remote-TPU pipelining)."""
 
     manifest: dict
-    _exported: object
+    _fns: dict
 
     @classmethod
     def load(cls, export_dir: str) -> "ExportedPredictor":
@@ -130,26 +161,57 @@ class ExportedPredictor:
 
         with open(os.path.join(export_dir, MANIFEST)) as f:
             manifest = json.load(f)
-        with open(os.path.join(export_dir, manifest["artifact"]), "rb") as f:
-            payload = f.read()
-        digest = hashlib.sha256(payload).hexdigest()
-        if digest != manifest["sha256"]:
-            raise ValueError(
-                f"artifact checksum mismatch under {export_dir}: "
-                f"manifest says {manifest['sha256'][:12]}…, file is "
-                f"{digest[:12]}… — corrupted or tampered export"
-            )
-        return cls(manifest=manifest, _exported=jexport.deserialize(payload))
+        # Pre-multi-artifact manifests have only the top-level alias.
+        arts = manifest.get("artifacts") or {
+            "probs": {"file": manifest["artifact"],
+                      "sha256": manifest["sha256"]},
+        }
+        fns = {}
+        for name, rec in arts.items():
+            with open(os.path.join(export_dir, rec["file"]), "rb") as f:
+                payload = f.read()
+            digest = hashlib.sha256(payload).hexdigest()
+            if digest != rec["sha256"]:
+                raise ValueError(
+                    f"artifact checksum mismatch for {rec['file']} under "
+                    f"{export_dir}: manifest says {rec['sha256'][:12]}…, "
+                    f"file is {digest[:12]}… — corrupted or tampered export"
+                )
+            fns[name] = jexport.deserialize(payload)
+        return cls(manifest=manifest, _fns=fns)
 
-    def probs(self, x: np.ndarray) -> np.ndarray:
-        """(B, H, W, bands) raw pixels -> (B, H, W, classes) softmax."""
-        x = np.asarray(x, np.float32)
+    def has(self, name: str) -> bool:
+        return name in self._fns
+
+    def _check(self, x: np.ndarray) -> None:
         if x.ndim != 4 or x.shape[-1] != self.manifest["num_input_bands"]:
             raise ValueError(
                 f"expected (B, H, W, {self.manifest['num_input_bands']}) "
                 f"input, got {x.shape}"
             )
-        return np.asarray(self._exported.call(x))
+
+    def probs_device(self, x: np.ndarray):
+        """Async: (B, H, W, bands) raw pixels -> device f32 softmax array.
+        uint8 input routes through the 4x-smaller-upload entry point."""
+        if np.asarray(x).dtype == np.uint8 and self.has("probs_u8"):
+            x = np.ascontiguousarray(x)
+            self._check(x)
+            return self._fns["probs_u8"].call(x)
+        x = np.asarray(x, np.float32)
+        self._check(x)
+        return self._fns["probs"].call(x)
+
+    def probs(self, x: np.ndarray) -> np.ndarray:
+        """(B, H, W, bands) raw pixels -> (B, H, W, classes) softmax."""
+        return np.asarray(self.probs_device(x))
+
+    def dense_labels_device(self, x: np.ndarray):
+        """Async: u8 raw pixels (halo included) -> device u8 argmax labels
+        with the manifest's dense_labels_halo cropped off. The labels
+        fast path: ~100x smaller download than f32 probabilities."""
+        x = np.ascontiguousarray(np.asarray(x).astype(np.uint8))
+        self._check(x)
+        return self._fns["dense_labels"].call(x)
 
     def predict(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Argmax labels + probabilities for a raw-pixel batch."""

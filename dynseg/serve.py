@@ -66,7 +66,8 @@ class ServingEngine:
     through a fixed (batch, size, size) shape so programs compile once.
     """
 
-    def __init__(self, predictor: ExportedPredictor, window_batch: int = 64):
+    def __init__(self, predictor: ExportedPredictor, window_batch: int = 64,
+                 pipeline_depth: int = 4):
         self.p = predictor
         m = predictor.manifest
         self.bands = int(m["num_input_bands"])
@@ -74,7 +75,36 @@ class ServingEngine:
         self.scales = [int(s) for s in m["inference"]["window_scales"]]
         self.stride_fraction = float(m["inference"]["stride_fraction"])
         self.window_batch = int(window_batch)
+        # Outstanding device calls before forcing a result: artifact calls
+        # dispatch asynchronously, so keeping a few in flight overlaps the
+        # next upload/compute with the previous download (the dominant
+        # cost on remote/tunneled accelerators).
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._lock = threading.Lock()  # artifact .call is not thread-safe
+
+    def _pipelined(self, launches):
+        """launches yields (meta, thunk) where thunk() returns a DEVICE
+        array; yields (meta, np.ndarray) with up to pipeline_depth calls
+        in flight."""
+        import collections
+
+        q = collections.deque()
+        for meta, thunk in launches:
+            with self._lock:
+                q.append((meta, thunk()))
+            if len(q) > self.pipeline_depth:
+                m, dev = q.popleft()
+                yield m, np.asarray(dev)
+        while q:
+            m, dev = q.popleft()
+            yield m, np.asarray(dev)
+
+    @staticmethod
+    def _block_starts(extent: int, b: int) -> List[int]:
+        ss = list(range(0, max(1, extent - b + 1), b))
+        if ss[-1] + b < extent:
+            ss.append(extent - b)
+        return ss
 
     # -- estimators ---------------------------------------------------- #
     def dense(self, img: np.ndarray, block: int = 256) -> np.ndarray:
@@ -82,28 +112,53 @@ class ServingEngine:
         fixed-shape blocks reproduce the single whole-raster forward
         exactly (the nets are fully convolutional and the halo covers the
         receptive field), but peak memory stays one block — a 10k x 10k
-        production raster cannot be a single forward's activation."""
+        production raster cannot be a single forward's activation.
+
+        uint8 rasters upload as uint8 (4x less tunnel traffic; the cast
+        and normalization happen on device via the probs_u8 entry)."""
         halo = int(self.p.manifest["inference"]["dense_halo"])
         h, w = img.shape[:2]
-        big = _mirror_pad(img.astype(np.float32), halo)
+        src = img if img.dtype == np.uint8 else img.astype(np.float32)
+        big = _mirror_pad(src, halo)
         b = max(1, min(block, h, w))
         probs = np.zeros((h, w, self.nc), np.float32)
-
-        def starts(extent: int) -> List[int]:
-            ss = list(range(0, max(1, extent - b + 1), b))
-            if ss[-1] + b < extent:
-                ss.append(extent - b)
-            return ss
-
         ext = b + 2 * halo
-        for r in starts(h):
-            for c in starts(w):
-                x = big[r : r + ext, c : c + ext][None]
-                with self._lock:
-                    out = self.p.probs(x)[0]
-                probs[r : r + b, c : c + b] = out[halo : halo + b,
-                                                  halo : halo + b]
+
+        def launches():
+            for r in self._block_starts(h, b):
+                for c in self._block_starts(w, b):
+                    x = big[r : r + ext, c : c + ext][None]
+                    yield (r, c), lambda x=x: self.p.probs_device(x)
+
+        for (r, c), out in self._pipelined(launches()):
+            probs[r : r + b, c : c + b] = out[0, halo : halo + b,
+                                              halo : halo + b]
         return probs
+
+    def dense_labels(self, img: np.ndarray, block: int = 1024) -> np.ndarray:
+        """Labels-only dense fast path for uint8 rasters: device argmax,
+        halo cropped on device — the download is b*b uint8 labels per
+        block instead of a full float probability map (~100x less).
+        Measured on the tunneled v5e: 8.0 Mpx/s at block=1024 (vs 0.38
+        for the f32-probs path this replaces) — call-count dominated, so
+        the default block is large."""
+        halo = int(self.p.manifest.get("dense_labels_halo", 0))
+        assert img.dtype == np.uint8 and self.p.has("dense_labels")
+        h, w = img.shape[:2]
+        big = _mirror_pad(img, halo)
+        b = max(1, min(block, h, w))
+        labels = np.zeros((h, w), np.uint8)
+        ext = b + 2 * halo
+
+        def launches():
+            for r in self._block_starts(h, b):
+                for c in self._block_starts(w, b):
+                    x = big[r : r + ext, c : c + ext][None]
+                    yield (r, c), lambda x=x: self.p.dense_labels_device(x)
+
+        for (r, c), out in self._pipelined(launches()):
+            labels[r : r + b, c : c + b] = out[0]
+        return labels
 
     def window(self, img: np.ndarray,
                scales: Optional[List[int]] = None) -> np.ndarray:
@@ -116,42 +171,53 @@ class ServingEngine:
         scales = [int(s) for s in (scales or self.scales)]
         h, w = img.shape[:2]
         pad = max(scales)
-        big = _mirror_pad(img.astype(np.float32), pad)
+        src = img if img.dtype == np.uint8 else img.astype(np.float32)
+        big = _mirror_pad(src, pad)
         prob = np.zeros((h + 2 * pad, w + 2 * pad, self.nc), np.float32)
         cnt = np.zeros((h + 2 * pad, w + 2 * pad, 1), np.float32)
         B = self.window_batch
-        for s in scales:
-            stride = min(s, max(1, int(round(s * self.stride_fraction))))
-            rows = window_origins(pad, pad + h, s, stride, big.shape[0] - s)
-            cols = window_origins(pad, pad + w, s, stride, big.shape[1] - s)
-            origins = [(r, c) for r in rows for c in cols]
-            for lo in range(0, len(origins), B):
-                chunk = origins[lo : lo + B]
-                # zero rows past len(chunk) are padding: forwarded (fixed
-                # shape per (s, B) => one compile) but never accumulated.
-                batch = np.zeros((B, s, s, self.bands), np.float32)
-                for i, (r, c) in enumerate(chunk):
-                    batch[i] = big[r : r + s, c : c + s]
-                with self._lock:
-                    probs = self.p.probs(batch)
-                for i, (r, c) in enumerate(chunk):
-                    prob[r : r + s, c : c + s] += probs[i]
-                    cnt[r : r + s, c : c + s] += 1.0
+
+        def launches():
+            for s in scales:
+                stride = min(s, max(1, int(round(s * self.stride_fraction))))
+                rows = window_origins(pad, pad + h, s, stride, big.shape[0] - s)
+                cols = window_origins(pad, pad + w, s, stride, big.shape[1] - s)
+                origins = [(r, c) for r in rows for c in cols]
+                for lo in range(0, len(origins), B):
+                    chunk = origins[lo : lo + B]
+                    # zero rows past len(chunk) are padding: forwarded
+                    # (fixed shape per (s, B) => one compile) but never
+                    # accumulated.
+                    batch = np.zeros((B, s, s, self.bands), big.dtype)
+                    for i, (r, c) in enumerate(chunk):
+                        batch[i] = big[r : r + s, c : c + s]
+                    yield ((s, chunk),
+                           lambda batch=batch: self.p.probs_device(batch))
+
+        for (s, chunk), probs in self._pipelined(launches()):
+            for i, (r, c) in enumerate(chunk):
+                prob[r : r + s, c : c + s] += probs[i]
+                cnt[r : r + s, c : c + s] += 1.0
         valid = prob[pad : pad + h, pad : pad + w]
         cval = np.maximum(cnt[pad : pad + h, pad : pad + w], 1e-9)
         return valid / cval
 
-
     # -- request-level API ---------------------------------------------- #
     def predict(self, img: np.ndarray, mode: str = "window",
-                scales: Optional[List[int]] = None
-                ) -> Tuple[np.ndarray, np.ndarray]:
+                scales: Optional[List[int]] = None,
+                want_probs: bool = True,
+                ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         if img.ndim == 2:
             img = img[..., None]
         if img.ndim != 3 or img.shape[-1] != self.bands:
             raise ValueError(
                 f"expected (H, W, {self.bands}) raster, got {img.shape}"
             )
+        if (mode == "dense" and not want_probs and img.dtype == np.uint8
+                and self.p.has("dense_labels")
+                and int(self.p.manifest.get("dense_labels_halo", 0)) > 0):
+            # labels fast path: uint8 up, device argmax, uint8 down
+            return self.dense_labels(img).astype(np.int32), None
         probs = self.dense(img) if mode == "dense" else self.window(img, scales)
         return probs.argmax(-1).astype(np.int32), probs
 
@@ -228,7 +294,9 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 n = int(self.headers.get("Content-Length", 0))
                 img = _decode_body(self.rfile.read(n),
                                    self.headers.get("Content-Type", ""))
-                labels, probs = engine.predict(img, mode=mode, scales=scales)
+                labels, probs = engine.predict(
+                    img, mode=mode, scales=scales,
+                    want_probs=(output == "probs"))
                 if output == "png":
                     body = _encode_png(labels, manifest.get("dataset"))
                     ctype = "image/png"

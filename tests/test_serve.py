@@ -235,3 +235,28 @@ def test_degenerate_rasters_and_bad_params(served, rng):
         srv.shutdown()
         srv.server_close()
         th.join(timeout=5)
+
+
+def test_uint8_routing_and_labels_fast_path(served, rng):
+    """uint8 rasters route through the u8 artifact (same math, smaller
+    upload) and the labels-only dense request takes the device-argmax
+    fast path — all three must agree."""
+    _, _, _, _, _, out = served
+    eng = ServingEngine(ExportedPredictor.load(out), window_batch=8)
+    img8 = rng.integers(0, 256, size=(26, 22, 3), dtype=np.uint8)
+
+    labels_f, probs_f = eng.predict(img8.astype(np.float32), mode="dense")
+    labels_8, probs_8 = eng.predict(img8, mode="dense")
+    np.testing.assert_allclose(probs_8, probs_f, atol=1e-6)
+
+    # labels-only request on uint8 input: device argmax, no probs download
+    labels_fast, probs_none = eng.predict(img8, mode="dense",
+                                          want_probs=False)
+    assert probs_none is None
+    np.testing.assert_array_equal(labels_fast, labels_8)
+
+    # window voting also accepts uint8 input
+    _, probs_w8 = eng.predict(img8, mode="window", scales=[9])
+    _, probs_wf = eng.predict(img8.astype(np.float32), mode="window",
+                              scales=[9])
+    np.testing.assert_allclose(probs_w8, probs_wf, atol=1e-6)
