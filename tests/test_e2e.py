@@ -256,3 +256,49 @@ def test_keep_best_and_use_best_flow(tmp_path):
     assert rec is not None and 0 < rec["step"] <= 12
     s_best = run_testing(cfg, log=lambda *_: None, use_best=True)
     assert s_best["mean_f1"] > 0  # restored + predicted end to end
+
+
+def test_training_through_on_disk_vaihingen_loader(tmp_path):
+    """Integration gap-closer: the CLI must train THROUGH the published
+    on-disk dataset format (color-coded ISPRS ground truth), not just the
+    in-memory synthetic path. Fake Vaihingen tiles whose class is a
+    deterministic function of pixel intensity must be learnable."""
+    from PIL import Image
+
+    from dynseg.data.datasets import ISPRS_PALETTE
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "vaihingen"
+    (root / "top").mkdir(parents=True)
+    (root / "gts_for_participants").mkdir()
+    for i in range(3):
+        classes = np.kron(
+            rng.integers(0, 6, (8, 8)), np.ones((8, 8), np.int64))  # blocky
+        img = (classes * 40 + rng.integers(0, 10, classes.shape)).astype(
+            np.uint8)
+        img = np.stack([img, 255 - img, (img // 2)], axis=-1)
+        Image.fromarray(img).save(root / "top" / f"tile{i}.tif")
+        Image.fromarray(ISPRS_PALETTE[classes].astype(np.uint8)).save(
+            root / "gts_for_participants" / f"tile{i}.tif")
+
+    out = tmp_path / "out"
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "vaihingen",
+        "--dataset_path", str(root),
+        "--output_path", str(out),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "multi_fixed",
+        "--values", "9,13",
+        "--window_batch", "32",
+        "--niter", "80",
+        "--eval_eroded_boundaries", "2",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=80)
+    scores = run_training(cfg, log=lambda *_: None)
+    # integration fence, not an accuracy benchmark: 6 classes, 80 iters,
+    # 1/8-width net — far above the 1/6 chance level is "it learned"
+    assert scores["oa"] > 0.7, scores["oa"]
+    assert "eroded" in scores  # ISPRS protocol block flowed through the CLI
+    assert scores["eroded"]["oa"] >= scores["oa"] - 0.02
