@@ -480,6 +480,11 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
         os.path.join(cfg.train.output_path, "export"),
         platforms=platforms,
         extra_meta={
+            # Paper semantics (C12): the trained distribution identifies
+            # the best spatial contexts — serving can fuse only the top-K
+            # instead of all scales (POST /predict?scales=...).
+            "scheduler_best_scales": [int(s) for s in
+                                      scheduler.best_scales(len(cfg.sched.values))],
             "checkpoint_step": int(step),
             "dataset": stats.get("dataset"),
         },
