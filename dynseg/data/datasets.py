@@ -200,8 +200,15 @@ def _load_isprs(path: str, image_dir: str, gt_dir: str, split_frac: float = 0.75
         raise FileNotFoundError(f"no tiles under {os.path.join(path, image_dir)}")
     ims, mks = [], []
     for f in imgs:
-        gt = os.path.join(path, gt_dir, os.path.basename(f))
-        if not os.path.exists(gt):
+        base = os.path.basename(f)
+        # Vaihingen GT shares the image filename; Potsdam images are
+        # top_potsdam_X_Y_RGB.tif with GT top_potsdam_X_Y_label.tif.
+        candidates = [base, base.replace("_RGB", "_label"),
+                      base.replace("RGB", "label")]
+        gt = next(
+            (p for c in candidates
+             if os.path.exists(p := os.path.join(path, gt_dir, c))), None)
+        if gt is None:
             continue
         ims.append(_read_image(f).astype(np.float32))
         mks.append(_isprs_rgb_to_classes(_read_image(gt)))

@@ -110,3 +110,22 @@ def test_load_unlabeled_dir_and_formats(tmp_path, rng):
 
     with pytest.raises(FileNotFoundError):
         load_unlabeled(str(tmp_path / "missing_dir"))
+
+
+def test_potsdam_rgb_label_filename_convention(tmp_path, rng):
+    """Real Potsdam names images top_potsdam_X_Y_RGB.tif but ground truth
+    top_potsdam_X_Y_label.tif — the loader must pair them."""
+    from dynseg.data.datasets import load_potsdam
+
+    (tmp_path / "2_Ortho_RGB").mkdir()
+    (tmp_path / "5_Labels_for_participants").mkdir()
+    for i in range(2):
+        img = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+        classes = rng.integers(0, 6, (24, 24))
+        _save(tmp_path / "2_Ortho_RGB" / f"top_potsdam_{i}_10_RGB.tif", img)
+        _save(tmp_path / "5_Labels_for_participants" /
+              f"top_potsdam_{i}_10_label.tif",
+              ISPRS_PALETTE[classes].astype(np.uint8))
+    train, test = load_potsdam(str(tmp_path))
+    assert train.num_tiles >= 1 and test.num_tiles >= 1
+    assert train.masks.max() < 6
