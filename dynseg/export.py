@@ -81,7 +81,9 @@ def export_predictor(
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     def dense_labels(x):
-        p = probs(x)[:, halo:-halo, halo:-halo]
+        p = probs(x)
+        if halo > 0:  # halo=0 would slice [0:-0] == empty
+            p = p[:, halo:-halo, halo:-halo]
         return jnp.argmax(p, axis=-1).astype(jnp.uint8)
 
     def _export(fn, dtype):

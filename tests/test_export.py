@@ -141,3 +141,24 @@ def test_cli_export_from_checkpoint(tmp_path):
         model.apply(variables, norm, train=False).astype(jnp.float32), -1)
     np.testing.assert_allclose(pred.probs(raw), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_export_with_zero_halo(tmp_path, rng):
+    """dense_halo=0 must export a dense_labels entry that returns the
+    FULL label map (the [0:-0] empty-slice trap)."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, dense_halo=0))
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(7),
+                           jnp.zeros((1, 9, 9, 3), jnp.float32), train=False)
+    export_predictor(cfg, variables, np.zeros(3, np.float32),
+                     np.ones(3, np.float32), str(tmp_path),
+                     platforms=("cpu",))
+    pred = ExportedPredictor.load(str(tmp_path))
+    x = rng.integers(0, 256, size=(1, 12, 14, 3), dtype=np.uint8)
+    labels = np.asarray(pred.dense_labels_device(x))
+    assert labels.shape == (1, 12, 14)
+    np.testing.assert_array_equal(labels[0], pred.probs(x)[0].argmax(-1))
