@@ -63,7 +63,10 @@ class DilatedConvBlock(nn.Module):
         x = nn.leaky_relu(x, negative_slope=self.leaky_slope)
         if self.pool:
             # Stride-1 SAME max pool: local max filtering without
-            # downsampling ([R] dynamic.py:≈_max_pool).
+            # downsampling ([R] dynamic.py:≈_max_pool). Its backward
+            # (select_and_scatter, ~23% of the train step) was pressure-
+            # tested against four alternatives and kept — see
+            # docs/DESIGN.md "Kernel decisions".
             x = nn.max_pool(
                 x,
                 window_shape=(self.pool_window, self.pool_window),
