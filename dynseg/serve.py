@@ -248,9 +248,14 @@ def _encode_png(labels: np.ndarray, dataset: Optional[str]) -> bytes:
 
 
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
-                window_batch: int = 64) -> ThreadingHTTPServer:
-    engine = ServingEngine(ExportedPredictor.load(export_dir),
-                           window_batch=window_batch)
+                window_batch: int = 64,
+                engine: Optional[ServingEngine] = None) -> ThreadingHTTPServer:
+    """Bind the HTTP server. Pass a pre-built (and pre-warmed) engine to
+    avoid accepting connections before the compiles are done — the
+    socket starts queueing requests the moment this binds."""
+    if engine is None:
+        engine = ServingEngine(ExportedPredictor.load(export_dir),
+                               window_batch=window_batch)
     manifest = engine.p.manifest
 
     class Handler(BaseHTTPRequestHandler):
@@ -308,10 +313,26 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 return self._json(400, {"error": str(e)})
             self._send(200, body, ctype)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.engine = engine  # exposed for warmup() and embedders
+    return srv
+
+
+def warmup(engine: ServingEngine, size: int = 512) -> None:
+    """Pre-compile the serving programs so the first real request does
+    not pay the (remote) compile: one dense-labels pass, one dense-probs
+    pass, and one window batch per scale at the fixed window_batch."""
+    img8 = np.zeros((size, size, engine.bands), np.uint8)
+    if engine.p.has("dense_labels") and int(
+            engine.p.manifest.get("dense_labels_halo", 0)) > 0:
+        engine.dense_labels(img8)
+    engine.dense(img8, block=min(256, size))
+    engine.window(img8[: max(engine.scales), : max(engine.scales)])
 
 
 def main(argv=None) -> int:
+    import signal
+
     ap = argparse.ArgumentParser(
         prog="dynseg.serve",
         description="Serve a dynseg export over HTTP",
@@ -320,16 +341,38 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8400)
     ap.add_argument("--window_batch", type=int, default=64)
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip startup pre-compilation (first request "
+                         "then pays the 20-45s remote compile)")
+    ap.add_argument("--warmup_size", type=int, default=512)
     args = ap.parse_args(argv)
+    # Persistent XLA compilation cache: a restarted server reloads its
+    # programs from disk instead of paying remote compiles again.
+    from dynseg.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+    engine = ServingEngine(ExportedPredictor.load(args.export_dir),
+                           window_batch=args.window_batch)
+    if not args.no_warmup:
+        print("warming serving programs (compiles cache across runs)...",
+              flush=True)
+        warmup(engine, args.warmup_size)
+    # Bind AFTER warmup: the OS queues connections from the moment the
+    # socket exists, which read as mysterious first-request stalls.
     srv = make_server(args.export_dir, args.host, args.port,
-                      args.window_batch)
-    print(f"serving {args.export_dir} on http://{args.host}:{srv.server_port}")
+                      args.window_batch, engine=engine)
+    print(f"listening: {args.export_dir} on "
+          f"http://{args.host}:{srv.server_port}", flush=True)
+    # SIGTERM = clean drain (finish in-flight requests, close the socket).
+    signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+        target=srv.shutdown).start())
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         srv.server_close()
+    print("server stopped")
     return 0
 
 

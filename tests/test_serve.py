@@ -260,3 +260,26 @@ def test_uint8_routing_and_labels_fast_path(served, rng):
     _, probs_wf = eng.predict(img8.astype(np.float32), mode="window",
                               scales=[9])
     np.testing.assert_allclose(probs_w8, probs_wf, atol=1e-6)
+
+
+def test_warmup_and_sigterm_shutdown(served):
+    """warmup() pre-compiles without error; SIGTERM drains the server
+    cleanly (production shutdown path)."""
+    import signal
+    import time as _time
+
+    from dynseg.serve import warmup
+
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=8)
+    warmup(srv.engine, size=24)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    assert json.loads(urllib.request.urlopen(f"{base}/healthz").read())[
+        "status"] == "ok"
+    # same handler main() installs
+    threading.Thread(target=srv.shutdown).start()
+    th.join(timeout=10)
+    assert not th.is_alive()
+    srv.server_close()
