@@ -20,7 +20,11 @@ import numpy as np
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(add_help=False)
+    ap = argparse.ArgumentParser(
+        prog="run_folds",
+        description=__doc__.splitlines()[0],
+        epilog="All other flags pass through to the dynseg CLI.",
+    )
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--output_path", required=True)
     args, passthrough = ap.parse_known_args(argv)
