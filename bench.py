@@ -85,6 +85,66 @@ def run_bench(env_extra, batch, steps, steps_per_call=1):
     raise RuntimeError(f"bench subprocess failed:\n{out.stdout}\n{out.stderr}")
 
 
+INFER_SNIPPET = r"""
+import json, time, sys, os
+import jax
+if os.environ.get("DYNSEG_BENCH_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+import numpy as np
+from dynseg.cli import enable_compilation_cache
+enable_compilation_cache()
+from dynseg.config import Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig
+from dynseg.data.tiles import TileSet
+from dynseg.infer import Inferencer
+from dynseg.models.dilated import build_model
+import jax.numpy as jnp
+
+size = int(os.environ.get("DYNSEG_BENCH_INFER_SIZE", "1024"))
+wm = float(os.environ.get("DYNSEG_BENCH_WIDTH", "1.0"))
+scales = (25, 35, 45, 55, 65) if size >= 256 else (9, 13)
+cfg = Config(
+    model=ModelConfig(net_type="dilated_icpr_rate6", num_classes=6,
+                      num_input_bands=3, width_multiplier=wm),
+    sched=SchedulerConfig(values=scales),
+    train=TrainConfig(batch_size=4),
+    infer=InferConfig(scales=scales),
+    data=DataConfig(dataset="synthetic"),
+)
+model = build_model(cfg.model)
+variables = model.init(jax.random.key(0),
+                       jnp.zeros((1, scales[0], scales[0], 3)), train=False)
+img = np.random.default_rng(0).integers(0, 256, (size, size, 3)).astype(np.uint8)
+tiles = TileSet(images=img[None].astype(np.float32),
+                masks=np.zeros((1, size, size), np.int32),
+                valid_hw=np.array([[size, size]], np.int32),
+                mean=np.zeros(3, np.float32), std=np.ones(3, np.float32))
+inf = Inferencer(cfg, tiles)
+mpx = size * size / 1e6
+out = {{}}
+for mode, fn in [("window", lambda: inf.predict_tile(variables, 0, return_probs=False)),
+                 ("dense", lambda: inf.predict_tile_dense(variables, 0, return_probs=False))]:
+    fn()  # warm/compile
+    t0 = time.perf_counter()
+    pred, _ = fn()
+    out[mode] = round(mpx / (time.perf_counter() - t0), 3)
+print("RESULT", json.dumps(out))
+"""
+
+
+def run_infer_bench(env_extra=None):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    out = subprocess.run(
+        [sys.executable, "-c", INFER_SNIPPET.format(repo=REPO)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    return None  # inference extras are best-effort; train metric stands
+
+
 def main():
     # CPU proxy baseline (cached across rounds; small step count — CPU is slow)
     if os.path.exists(BASELINE_CACHE):
@@ -101,12 +161,19 @@ def main():
     result = run_bench({}, batch=100, steps=8, steps_per_call=16)
     value = result["patches_per_sec"]
     vs = value / baseline["patches_per_sec"]
-    print(json.dumps({
+    # The BASELINE metric is composite ("train patches/sec/chip +
+    # inference Mpx/s"); the primary value/vs_baseline stay the train
+    # number, the inference rates ride along for the record.
+    infer = run_infer_bench()
+    line = {
         "metric": "train_patches_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "patches/s",
         "vs_baseline": round(vs, 2),
-    }))
+    }
+    if infer:
+        line["inference_mpx_per_s"] = infer  # {"window": ..., "dense": ...}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -212,6 +212,13 @@ def _load_isprs(path: str, image_dir: str, gt_dir: str, split_frac: float = 0.75
             continue
         ims.append(_read_image(f).astype(np.float32))
         mks.append(_isprs_rgb_to_classes(_read_image(gt)))
+    if not ims:
+        raise FileNotFoundError(
+            f"{len(imgs)} image tiles under {os.path.join(path, image_dir)} "
+            f"but none paired with ground truth in "
+            f"{os.path.join(path, gt_dir)} (tried exact filename and the "
+            f"RGB->label substitution, e.g. {os.path.basename(imgs[0])})"
+        )
     n_train = max(1, int(len(ims) * split_frac))
     train = pack_tiles(ims[:n_train], mks[:n_train])
     test = pack_tiles(ims[n_train:] or ims[-1:], mks[n_train:] or mks[-1:])

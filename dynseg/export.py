@@ -156,6 +156,7 @@ class ExportedPredictor:
 
     manifest: dict
     _fns: dict
+    _payloads: dict
 
     @classmethod
     def load(cls, export_dir: str) -> "ExportedPredictor":
@@ -168,7 +169,7 @@ class ExportedPredictor:
             "probs": {"file": manifest["artifact"],
                       "sha256": manifest["sha256"]},
         }
-        fns = {}
+        payloads = {}
         for name, rec in arts.items():
             with open(os.path.join(export_dir, rec["file"]), "rb") as f:
                 payload = f.read()
@@ -179,11 +180,21 @@ class ExportedPredictor:
                     f"{export_dir}: manifest says {rec['sha256'][:12]}…, "
                     f"file is {digest[:12]}… — corrupted or tampered export"
                 )
-            fns[name] = jexport.deserialize(payload)
-        return cls(manifest=manifest, _fns=fns)
+            payloads[name] = payload
+        # Integrity is checked eagerly; deserialization is deferred per
+        # entry — probs-only consumers (CLI validate/predict) never pay
+        # for the serving fast-path artifacts.
+        return cls(manifest=manifest, _fns={}, _payloads=payloads)
 
     def has(self, name: str) -> bool:
-        return name in self._fns
+        return name in self._payloads or name in self._fns
+
+    def _fn(self, name: str):
+        if name not in self._fns:
+            from jax import export as jexport
+
+            self._fns[name] = jexport.deserialize(self._payloads.pop(name))
+        return self._fns[name]
 
     def _check(self, x: np.ndarray) -> None:
         if x.ndim != 4 or x.shape[-1] != self.manifest["num_input_bands"]:
@@ -198,10 +209,10 @@ class ExportedPredictor:
         if np.asarray(x).dtype == np.uint8 and self.has("probs_u8"):
             x = np.ascontiguousarray(x)
             self._check(x)
-            return self._fns["probs_u8"].call(x)
+            return self._fn("probs_u8").call(x)
         x = np.asarray(x, np.float32)
         self._check(x)
-        return self._fns["probs"].call(x)
+        return self._fn("probs").call(x)
 
     def probs(self, x: np.ndarray) -> np.ndarray:
         """(B, H, W, bands) raw pixels -> (B, H, W, classes) softmax."""
@@ -213,7 +224,7 @@ class ExportedPredictor:
         fast path: ~100x smaller download than f32 probabilities."""
         x = np.ascontiguousarray(np.asarray(x).astype(np.uint8))
         self._check(x)
-        return self._fns["dense_labels"].call(x)
+        return self._fn("dense_labels").call(x)
 
     def predict(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Argmax labels + probabilities for a raw-pixel batch."""

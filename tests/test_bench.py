@@ -21,3 +21,13 @@ def test_bench_harness_smoke():
         {"DYNSEG_BENCH_PLATFORM": "cpu"}, batch=2, steps=2, steps_per_call=1)
     assert result["platform"] == "cpu"
     assert result["patches_per_sec"] > 0
+
+
+def test_infer_bench_smoke():
+    bench = _load_bench()
+    result = bench.run_infer_bench({
+        "DYNSEG_BENCH_PLATFORM": "cpu",
+        "DYNSEG_BENCH_INFER_SIZE": "48",
+        "DYNSEG_BENCH_WIDTH": "0.125",
+    })
+    assert result and result["window"] > 0 and result["dense"] > 0
