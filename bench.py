@@ -135,13 +135,16 @@ print("RESULT", json.dumps(out))
 def run_infer_bench(env_extra=None):
     env = dict(os.environ)
     env.update(env_extra or {})
-    out = subprocess.run(
-        [sys.executable, "-c", INFER_SNIPPET.format(repo=REPO)],
-        capture_output=True, text=True, env=env, timeout=1800,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", INFER_SNIPPET.format(repo=REPO)],
+            capture_output=True, text=True, env=env, timeout=1500,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+    except Exception:
+        pass
     return None  # inference extras are best-effort; train metric stands
 
 
