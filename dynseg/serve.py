@@ -36,6 +36,7 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -228,6 +229,50 @@ class ServingEngine:
         return probs.argmax(-1).astype(np.int32), probs
 
 
+class ServerStats:
+    """Request observability behind GET /metrics: counters + latency
+    quantiles from a bounded ring (thread-safe; ThreadingHTTPServer
+    handles requests concurrently)."""
+
+    def __init__(self, window: int = 512):
+        self._lock = threading.Lock()
+        self._t0 = time.monotonic()
+        self._window = window
+        self._by_mode: dict = {}
+
+    def record(self, mode: str, seconds: float, pixels: int,
+               error: bool = False) -> None:
+        with self._lock:
+            m = self._by_mode.setdefault(
+                mode, {"requests": 0, "errors": 0, "pixels": 0, "lat": []})
+            m["requests"] += 1
+            if error:
+                m["errors"] += 1
+            else:
+                m["pixels"] += int(pixels)
+                m["lat"].append(seconds)
+                if len(m["lat"]) > self._window:
+                    m["lat"] = m["lat"][-self._window:]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {"uptime_s": round(time.monotonic() - self._t0, 1),
+                   "modes": {}}
+            for mode, m in self._by_mode.items():
+                lat = sorted(m["lat"])
+                q = (lambda p: round(lat[min(len(lat) - 1,
+                                             int(p * len(lat)))], 4)) \
+                    if lat else (lambda p: None)
+                out["modes"][mode] = {
+                    "requests": m["requests"],
+                    "errors": m["errors"],
+                    "pixels": m["pixels"],
+                    "latency_s": {"p50": q(0.5), "p90": q(0.9),
+                                  "p99": q(0.99)},
+                }
+            return out
+
+
 def _decode_body(body: bytes, content_type: str) -> np.ndarray:
     if content_type.startswith("application/x-npy") or body[:6] == b"\x93NUMPY":
         return np.load(io.BytesIO(body), allow_pickle=False)
@@ -266,6 +311,7 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                                pipeline_depth=pipeline_depth,
                                dense_block=dense_block)
     manifest = engine.p.manifest
+    stats = ServerStats()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default; server logs elsewhere
@@ -292,6 +338,8 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 })
             elif path == "/manifest":
                 self._json(200, manifest)
+            elif path == "/metrics":
+                self._json(200, stats.snapshot())
             else:
                 self._json(404, {"error": f"no route {path}"})
 
@@ -299,6 +347,8 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
             url = urlparse(self.path)
             if url.path != "/predict":
                 return self._json(404, {"error": f"no route {url.path}"})
+            t0 = time.monotonic()
+            mode = "window"
             try:
                 q = parse_qs(url.query)
                 mode = q.get("mode", ["window"])[0]
@@ -311,6 +361,7 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 labels, probs = engine.predict(
                     img, mode=mode, scales=scales,
                     want_probs=(output == "probs"))
+                px = int(labels.size)
                 if output == "png":
                     body = _encode_png(labels, manifest.get("dataset"))
                     ctype = "image/png"
@@ -319,11 +370,14 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                     np.save(buf, probs if output == "probs" else labels)
                     body, ctype = buf.getvalue(), "application/x-npy"
             except Exception as e:  # noqa: BLE001 — report to client
+                stats.record(mode, time.monotonic() - t0, 0, error=True)
                 return self._json(400, {"error": str(e)})
+            stats.record(mode, time.monotonic() - t0, px)
             self._send(200, body, ctype)
 
     srv = ThreadingHTTPServer((host, port), Handler)
     srv.engine = engine  # exposed for warmup() and embedders
+    srv.stats = stats
     return srv
 
 

@@ -283,3 +283,35 @@ def test_warmup_and_sigterm_shutdown(served):
     th.join(timeout=10)
     assert not th.is_alive()
     srv.server_close()
+
+
+def test_metrics_endpoint(served, rng):
+    """/metrics exposes request counters and latency quantiles."""
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=8)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        buf = io.BytesIO(); np.save(buf, img)
+        for _ in range(2):
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/predict?mode=dense", data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npy"},
+                method="POST")).read()
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/predict?scales=zz", data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npy"},
+                method="POST"))
+        m = json.loads(urllib.request.urlopen(f"{base}/metrics").read())
+        assert m["uptime_s"] >= 0
+        dense = m["modes"]["dense"]
+        assert dense["requests"] == 2 and dense["errors"] == 0
+        assert dense["pixels"] == 2 * 16 * 16
+        assert dense["latency_s"]["p50"] > 0
+        # the scales=zz parse error records under the default mode
+        assert m["modes"]["window"]["errors"] == 1
+    finally:
+        srv.shutdown(); srv.server_close(); th.join(timeout=5)
