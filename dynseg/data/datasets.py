@@ -131,6 +131,26 @@ def load_synthetic(
     return train, test
 
 
+_POOL = None
+
+
+def _decode_pool():
+    """Shared raster-decode thread pool. PIL decodes and np.load release
+    the GIL, so this parallelizes on multi-core production hosts; the
+    floor of 4 still overlaps file I/O with decode on small machines.
+    (This dev box exposes 1 vCPU, so the speedup could not be validated
+    here — behavior-tested only.)"""
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _POOL = ThreadPoolExecutor(
+            max_workers=min(16, max(4, os.cpu_count() or 4)),
+            thread_name_prefix="dynseg-decode",
+        )
+    return _POOL
+
+
 def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
     """Brazilian Coffee scenes: 5-fold cross-county protocol — train on 4
     counties, test on the held-out one (SURVEY.md C2a).
@@ -198,7 +218,7 @@ def _load_isprs(path: str, image_dir: str, gt_dir: str, split_frac: float = 0.75
     imgs = sorted(glob.glob(os.path.join(path, image_dir, "*.tif")))
     if not imgs:
         raise FileNotFoundError(f"no tiles under {os.path.join(path, image_dir)}")
-    ims, mks = [], []
+    pairs = []
     for f in imgs:
         base = os.path.basename(f)
         # Vaihingen GT shares the image filename; Potsdam images are
@@ -208,10 +228,13 @@ def _load_isprs(path: str, image_dir: str, gt_dir: str, split_frac: float = 0.75
         gt = next(
             (p for c in candidates
              if os.path.exists(p := os.path.join(path, gt_dir, c))), None)
-        if gt is None:
-            continue
-        ims.append(_read_image(f).astype(np.float32))
-        mks.append(_isprs_rgb_to_classes(_read_image(gt)))
+        if gt is not None:
+            pairs.append((f, gt))
+    # Threaded decode (see load_unlabeled): ISPRS tiles are ~100 Mpx TIFFs.
+    ims = list(_decode_pool().map(
+        lambda p: _read_image(p[0]).astype(np.float32), pairs))
+    mks = list(_decode_pool().map(
+        lambda p: _isprs_rgb_to_classes(_read_image(p[1])), pairs))
     if not ims:
         raise FileNotFoundError(
             f"{len(imgs)} image tiles under {os.path.join(path, image_dir)} "
@@ -281,13 +304,18 @@ def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
         files = [path] if os.path.exists(path) else []
     if not files:
         raise FileNotFoundError(f"no rasters ({'/'.join(exts)}) under {path!r}")
-    ims, mks = [], []
-    for f in files:
+
+    def load_one(f: str) -> np.ndarray:
         im = np.load(f) if f.lower().endswith(".npy") else _read_image(f)
         if im.ndim == 2:
             im = im[..., None]
-        ims.append(im.astype(np.float32))
-        mks.append(np.full(im.shape[:2], IGNORE_LABEL, np.int32))
+        return im.astype(np.float32)
+
+    # Decode in a thread pool: PIL/numpy release the GIL during the
+    # actual decode, and a production predict batch is hundreds of tiles
+    # — serial decoding was the dominant host cost before first launch.
+    ims = list(_decode_pool().map(load_one, files))
+    mks = [np.full(im.shape[:2], IGNORE_LABEL, np.int32) for im in ims]
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
     return pack_tiles(ims, mks), names
 
