@@ -61,6 +61,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(dynseg/serve.py)")
     p.add_argument("--predict_path", default="",
                    help="file or directory of rasters for --operation predict")
+    p.add_argument("--predict_chunk", type=int, default=0,
+                   help="rasters loaded/predicted at a time (0 = all): "
+                        "bounds host RAM on production-size batches; "
+                        "chunk shapes bucket to 512-px multiples so "
+                        "chunks reuse compiled programs")
     p.add_argument("--dataset", default="synthetic", choices=cfgmod.DATASETS)
     p.add_argument("--dataset_path", default="")
     p.add_argument("--output_path", default="/tmp/dynseg_out")
@@ -361,16 +366,21 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
 
 def run_predict(cfg: Config, predict_path: str, log=print,
                 scales_from_scheduler: int = 0,
-                use_best: bool = False) -> List[str]:
+                use_best: bool = False,
+                predict_chunk: int = 0) -> List[str]:
     """Production inference on UNLABELED rasters: restore the checkpoint
     (model + training normalization stats from the stats sidecar — no
     training dataset needed on disk) and write colorized prediction maps
     named after the input files. Beyond-reference capability: the
-    reference can only predict tiles that ship with ground truth."""
+    reference can only predict tiles that ship with ground truth.
+
+    predict_chunk > 0 processes that many rasters at a time (bounded
+    host RAM on arbitrarily large batches); chunk shapes are bucketed to
+    512-px multiples so successive chunks reuse compiled programs."""
     import dataclasses as dc
 
     from dynseg.checkpoint import CheckpointManager
-    from dynseg.data.datasets import load_unlabeled
+    from dynseg.data.datasets import list_rasters, load_rasters
     from dynseg.infer import Inferencer
     from dynseg.sched.scheduler import ScaleScheduler
     from dynseg.train import init_state_template
@@ -396,14 +406,9 @@ def run_predict(cfg: Config, predict_path: str, log=print,
         num_classes=int(stats["num_classes"]),
     ))
 
-    tiles, names = load_unlabeled(predict_path)
-    if tiles.num_bands != cfg.model.num_input_bands:
-        raise ValueError(
-            f"rasters have {tiles.num_bands} bands but the checkpoint was "
-            f"trained on {cfg.model.num_input_bands}"
-        )
-    tiles.mean = np.asarray(stats["mean"], np.float32)
-    tiles.std = np.asarray(stats["std"], np.float32)
+    files = list_rasters(predict_path)
+    chunk = predict_chunk if predict_chunk > 0 else len(files)
+    pad_mult = 512 if predict_chunk > 0 else 1  # bucket chunk shapes
 
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
@@ -423,20 +428,35 @@ def run_predict(cfg: Config, predict_path: str, log=print,
         log(f"note: using training palette {palette_ds!r} "
             f"(CLI --dataset was {cfg.data.dataset!r})")
 
-    # Same fetch pipeline as validate_test: tile t's map downloads while
-    # tile t+1 computes.
-    inf = Inferencer(cfg, tiles)
     paths = []
-    pending = inf.predict_tile_device(variables, 0, scales)
-    for t in range(tiles.num_tiles):
-        nxt = (inf.predict_tile_device(variables, t + 1, scales)
-               if t + 1 < tiles.num_tiles else None)
-        pred = np.asarray(pending).astype(np.int32)
-        pending = nxt
-        paths += save_prediction_maps(
-            [pred], palette_ds, cfg.train.output_path, names=[names[t]],
-        )
-        log(f"tile {names[t]}: {pred.shape[1]}x{pred.shape[0]} -> {paths[-1]}")
+    for lo in range(0, len(files), chunk):
+        tiles, names = load_rasters(files[lo : lo + chunk],
+                                    pad_to_multiple=pad_mult)
+        if tiles.num_bands != cfg.model.num_input_bands:
+            raise ValueError(
+                f"rasters have {tiles.num_bands} bands but the checkpoint "
+                f"was trained on {cfg.model.num_input_bands}"
+            )
+        tiles.mean = np.asarray(stats["mean"], np.float32)
+        tiles.std = np.asarray(stats["std"], np.float32)
+
+        # Same fetch pipeline as validate_test: tile t's map downloads
+        # while tile t+1 computes.
+        inf = Inferencer(cfg, tiles)
+        pending = inf.predict_tile_device(variables, 0, scales)
+        for t in range(tiles.num_tiles):
+            nxt = (inf.predict_tile_device(variables, t + 1, scales)
+                   if t + 1 < tiles.num_tiles else None)
+            # predict_tile_device already crops to valid_hw, so bucket
+            # padding never reaches the output maps.
+            pred = np.asarray(pending).astype(np.int32)
+            pending = nxt
+            h, w = (int(x) for x in tiles.valid_hw[t])
+            paths += save_prediction_maps(
+                [pred], palette_ds, cfg.train.output_path, names=[names[t]],
+            )
+            log(f"tile {names[t]}: {w}x{h} -> {paths[-1]}")
+        del inf, tiles  # free host + device memory before the next chunk
     return paths
 
 
@@ -544,7 +564,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 raise SystemExit("--operation predict requires --predict_path")
             run_predict(cfg, args.predict_path, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler,
-                        use_best=args.use_best)
+                        use_best=args.use_best,
+                        predict_chunk=args.predict_chunk)
         elif args.operation == "export":
             platforms = tuple(
                 s for s in args.export_platforms.replace(" ", "").split(",") if s

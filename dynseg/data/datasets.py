@@ -289,11 +289,8 @@ def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
     return train, test
 
 
-def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
-    """Production predict path: load raw rasters (no ground truth) from a
-    file or directory for `--operation predict`. Masks are all-IGNORE;
-    normalization stats must be supplied by the caller (from the
-    checkpoint's stats sidecar). Returns (tiles, source names)."""
+def list_rasters(path: str) -> List[str]:
+    """Raster files under a path (or the path itself) for predict."""
     exts = (".tif", ".tiff", ".png", ".jpg", ".jpeg", ".npy")
     if os.path.isdir(path):
         files = [
@@ -304,7 +301,20 @@ def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
         files = [path] if os.path.exists(path) else []
     if not files:
         raise FileNotFoundError(f"no rasters ({'/'.join(exts)}) under {path!r}")
+    return files
 
+
+def load_unlabeled(path: str, pad_to_multiple: int = 1
+                   ) -> Tuple[TileSet, List[str]]:
+    """Production predict path: load raw rasters (no ground truth) from a
+    file or directory for `--operation predict`. Masks are all-IGNORE;
+    normalization stats must be supplied by the caller (from the
+    checkpoint's stats sidecar). Returns (tiles, source names)."""
+    return load_rasters(list_rasters(path), pad_to_multiple)
+
+
+def load_rasters(files: List[str], pad_to_multiple: int = 1
+                 ) -> Tuple[TileSet, List[str]]:
     def load_one(f: str) -> np.ndarray:
         im = np.load(f) if f.lower().endswith(".npy") else _read_image(f)
         if im.ndim == 2:
@@ -317,7 +327,8 @@ def load_unlabeled(path: str) -> Tuple[TileSet, List[str]]:
     ims = list(_decode_pool().map(load_one, files))
     mks = [np.full(im.shape[:2], IGNORE_LABEL, np.int32) for im in ims]
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
-    return pack_tiles(ims, mks), names
+    return pack_tiles(ims, mks, pad_to_multiple=pad_to_multiple,
+                      reflect_fill=pad_to_multiple > 1), names
 
 
 LOADERS = {

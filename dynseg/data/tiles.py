@@ -47,19 +47,48 @@ class TileSet:
         return self.images.shape[-1]
 
 
+def _reflect_fill(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Fill a (H, W, C) buffer whose valid region is [:h, :w] by
+    reflecting the valid data rightward/downward (numpy 'reflect'
+    semantics, applied in steps since one application caps at dim-1;
+    1-px dims fall back to edge replication). Keeps edge windows
+    identical to a tile packed at its exact size and then mirror-padded."""
+    H, W = a.shape[:2]
+    filled = a[:h, :w]
+    for axis, target in ((1, W), (0, H)):
+        while filled.shape[axis] < target:
+            step = min(filled.shape[axis] - 1, target - filled.shape[axis])
+            pad = [(0, 0)] * filled.ndim
+            if step == 0:  # cannot reflect a 1-px dim
+                pad[axis] = (0, target - filled.shape[axis])
+                filled = np.pad(filled, pad, mode="edge")
+                break
+            pad[axis] = (0, step)
+            filled = np.pad(filled, pad, mode="reflect")
+    return filled
+
+
 def pack_tiles(
-    images: Sequence[np.ndarray], masks: Sequence[np.ndarray]
+    images: Sequence[np.ndarray], masks: Sequence[np.ndarray],
+    pad_to_multiple: int = 1, reflect_fill: bool = False,
 ) -> TileSet:
     """Pad a list of variably-sized (H,W,C) tiles into one dense array.
 
     Padding area gets IGNORE_LABEL in the mask so it never contributes to
-    sampling, loss, or metrics.
+    sampling, loss, or metrics. pad_to_multiple > 1 rounds the packed
+    shape up — chunked prediction uses it to BUCKET shapes so different
+    chunks reuse the same compiled programs. reflect_fill fills the image
+    padding by reflection instead of zeros, so edge windows of a
+    smaller-than-pack tile see the same mirrored context they would at
+    their exact size (chunked == unchunked predictions).
     """
     assert len(images) == len(masks) and len(images) > 0
     hs = [im.shape[0] for im in images]
     ws = [im.shape[1] for im in images]
     c = images[0].shape[2]
-    H, W = max(hs), max(ws)
+    m = max(1, int(pad_to_multiple))
+    H = (max(hs) + m - 1) // m * m
+    W = (max(ws) + m - 1) // m * m
     T = len(images)
     out_im = np.zeros((T, H, W, c), dtype=np.float32)
     out_mk = np.full((T, H, W), IGNORE_LABEL, dtype=np.int32)
@@ -70,6 +99,8 @@ def pack_tiles(
         out_im[t, :h, :w] = im.astype(np.float32)
         out_mk[t, :h, :w] = mk.astype(np.int32)
         valid[t] = (h, w)
+        if reflect_fill and (h < H or w < W):
+            out_im[t] = _reflect_fill(out_im[t], h, w)
     return TileSet(images=out_im, masks=out_mk, valid_hw=valid)
 
 

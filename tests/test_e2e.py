@@ -302,3 +302,52 @@ def test_training_through_on_disk_vaihingen_loader(tmp_path):
     assert scores["oa"] > 0.7, scores["oa"]
     assert "eroded" in scores  # ISPRS protocol block flowed through the CLI
     assert scores["eroded"]["oa"] >= scores["oa"] - 0.02
+
+
+def test_predict_chunked_matches_unchunked(tmp_path):
+    """--predict_chunk: chunked prediction (bounded host RAM, bucketed
+    shapes) must write byte-identical maps to the all-at-once path."""
+    from PIL import Image
+
+    from dynseg.cli import run_predict
+    from dynseg.data.datasets import load_synthetic
+
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path / "ckpt"),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "8",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=8)
+    run_training(cfg, log=lambda *_: None)
+
+    _, test_tiles = load_synthetic(seed=cfg.train.seed)
+    raw = tmp_path / "rasters"
+    raw.mkdir()
+    for t in range(test_tiles.num_tiles):
+        h, w = (int(x) for x in test_tiles.valid_hw[t])
+        im = np.asarray(test_tiles.images[t, :h, :w]).astype(np.uint8)
+        Image.fromarray(im).save(raw / f"area_{t}.png")
+
+    out_all = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       output_path=str(tmp_path / "ckpt")))
+    p_all = run_predict(out_all, str(raw), log=lambda *_: None)
+    # second pass, one raster at a time, into a fresh map dir
+    import shutil
+
+    map2 = tmp_path / "chunked"
+    shutil.copytree(tmp_path / "ckpt" / "checkpoints",
+                    map2 / "checkpoints")
+    out_chunk = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, output_path=str(map2)))
+    p_chunk = run_predict(out_chunk, str(raw), log=lambda *_: None,
+                          predict_chunk=1)
+    assert len(p_all) == len(p_chunk) == test_tiles.num_tiles
+    for a, b in zip(p_all, p_chunk):
+        assert open(a, "rb").read() == open(b, "rb").read()
