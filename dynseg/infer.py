@@ -55,6 +55,23 @@ def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[i
     return out or [min(lim, max(0, lo))]
 
 
+def _reflect_fill_tileset(tiles: TileSet) -> TileSet:
+    """Copy of `tiles` with each image's padding area (beyond valid_hw)
+    filled by reflection of its own data; masks untouched (IGNORE)."""
+    from dynseg.data.tiles import _reflect_fill
+
+    T, H, W = tiles.images.shape[:3]
+    if all(int(h) == H and int(w) == W for h, w in tiles.valid_hw):
+        return tiles
+    images = np.array(tiles.images)  # host copy
+    for t in range(T):
+        h, w = (int(x) for x in tiles.valid_hw[t])
+        if h < H or w < W:
+            images[t] = _reflect_fill(images[t], h, w)
+    return TileSet(images=images, masks=tiles.masks,
+                   valid_hw=tiles.valid_hw, mean=tiles.mean, std=tiles.std)
+
+
 class Inferencer:
     """Multi-scale overlap-add predictor over a packed, padded TileSet."""
 
@@ -69,8 +86,12 @@ class Inferencer:
         self.scales = [int(s) for s in cfg.infer.scales]
         # Pad covers both window context and the dense-mode halo.
         self.pad = max(max(self.scales), cfg.infer.dense_halo)
-        self.tiles = tiles
-        self.padded = mirror_pad(tiles, self.pad)
+        # Tiles smaller than the packed shape must see REFLECTED context
+        # beyond their valid edge, exactly like the reference's per-tile
+        # mirror pad ([R] manipulate_border_array; SURVEY.md C14) — the
+        # pack's zero fill would leak zeros into their edge windows.
+        self.tiles = _reflect_fill_tileset(tiles)
+        self.padded = mirror_pad(self.tiles, self.pad)
         self.mesh = mesh
         if mesh is not None:
             P = jax.sharding.PartitionSpec

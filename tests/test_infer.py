@@ -273,3 +273,31 @@ def test_validate_test_eroded_boundary_metrics(rng):
         erode_boundaries(np.asarray(ts.masks[0]), 2) != IGNORE_LABEL))
     assert n_eroded == expected < n_full
     assert any("eroded" in l for l in lines)
+
+
+def test_unequal_tile_sizes_match_solo_prediction(rng):
+    """Reference parity (C14): each test tile is mirror-padded around its
+    OWN valid area. A small tile packed with a larger one must predict
+    identically to the same tile packed alone — the pack's zero fill
+    must never leak into edge windows."""
+    from dynseg.data.tiles import pack_tiles
+
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    small = rng.uniform(0, 255, size=(24, 20, 3)).astype(np.float32)
+    big = rng.uniform(0, 255, size=(40, 44, 3)).astype(np.float32)
+    zeros = lambda im: np.zeros(im.shape[:2], np.int32)
+
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    def predict_first(ts):
+        ts.mean = np.zeros(3, np.float32)
+        ts.std = np.ones(3, np.float32)
+        inf = Inferencer(cfg, ts)
+        _, prob = inf.predict_tile(variables, 0, return_probs=True)
+        return prob
+
+    prob_solo = predict_first(pack_tiles([small], [zeros(small)]))
+    prob_packed = predict_first(
+        pack_tiles([small, big], [zeros(small), zeros(big)]))
+    np.testing.assert_allclose(prob_packed, prob_solo, atol=1e-5, rtol=1e-4)
