@@ -177,9 +177,43 @@ class Config:
     data: DataConfig = DataConfig()
 
     def validate(self) -> "Config":
-        assert self.model.net_type in NET_TYPES, self.model.net_type
-        assert self.sched.distribution_type in DISTRIBUTION_TYPES
-        assert self.sched.update_type in UPDATE_TYPES
-        assert self.data.dataset in DATASETS
-        assert len(self.sched.values) >= 1
+        """Raise ValueError (not assert — those vanish under -O) with an
+        actionable message for every inconsistent setting."""
+        def check(ok, msg):
+            if not ok:
+                raise ValueError(f"invalid config: {msg}")
+
+        check(self.model.net_type in NET_TYPES,
+              f"net_type {self.model.net_type!r} not in {sorted(NET_TYPES)}")
+        check(self.sched.distribution_type in DISTRIBUTION_TYPES,
+              f"distribution_type {self.sched.distribution_type!r} not in "
+              f"{sorted(DISTRIBUTION_TYPES)}")
+        check(self.sched.update_type in UPDATE_TYPES,
+              f"update_type {self.sched.update_type!r} not in "
+              f"{sorted(UPDATE_TYPES)}")
+        check(self.data.dataset in DATASETS,
+              f"dataset {self.data.dataset!r} not in {sorted(DATASETS)}")
+        check(len(self.sched.values) >= 1, "--values must name >=1 patch size")
+        check(all(int(v) >= 1 for v in self.sched.values),
+              f"patch sizes must be >=1, got {tuple(self.sched.values)}")
+        check(self.sched.distribution_type != "single_fixed"
+              or len(self.sched.values) >= 1, "single_fixed needs a value")
+        check(self.train.batch_size >= 1,
+              f"batch_size must be >=1, got {self.train.batch_size}")
+        check(self.train.niter >= 0,
+              f"niter must be >=0, got {self.train.niter}")
+        check(self.train.num_devices >= 1,
+              f"num_devices must be >=1, got {self.train.num_devices}")
+        check(self.train.steps_per_call >= 1,
+              f"steps_per_call must be >=1, got {self.train.steps_per_call}")
+        check(0 < self.infer.stride_fraction,
+              f"stride_fraction must be >0, got {self.infer.stride_fraction}")
+        check(self.infer.window_batch >= 1,
+              f"window_batch must be >=1, got {self.infer.window_batch}")
+        check(self.infer.mode in ("window", "dense"),
+              f"inference mode {self.infer.mode!r} not in ('window','dense')")
+        check(self.infer.eroded_boundary_radius >= 0,
+              "eval_eroded_boundaries must be >=0")
+        check(not self.train.shard_tiles or self.train.num_devices >= 1,
+              "shard_tiles requires a device mesh")
         return self

@@ -86,3 +86,19 @@ def test_invalid_choices_rejected():
                 ["--distribution_type", "zipf"]):
         with pytest.raises(SystemExit):
             build_argparser().parse_args(["--operation", "training"] + bad)
+
+
+@pytest.mark.parametrize("flags,match", [
+    (["--batch_size", "0"], "batch_size"),
+    (["--values", "25,-3"], "patch sizes"),
+    (["--steps_per_call", "0"], "steps_per_call"),
+    (["--stride_fraction", "0"], "stride_fraction"),
+    (["--window_batch", "0"], "window_batch"),
+    (["--num_devices", "0"], "num_devices"),
+    (["--eval_eroded_boundaries", "-1"], "eval_eroded"),
+])
+def test_config_validation_messages(flags, match):
+    """validate() raises ValueError with an actionable message (bare
+    asserts would vanish under python -O)."""
+    with pytest.raises(ValueError, match=match):
+        _cfg(flags)
