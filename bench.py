@@ -17,7 +17,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")

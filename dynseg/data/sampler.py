@@ -22,7 +22,7 @@ from typing import List
 
 import numpy as np
 
-from dynseg.data.tiles import IGNORE_LABEL, TileSet
+from dynseg.data.tiles import TileSet
 
 try:  # optional native (C++) fast path — see native/position_tables.cc
     from dynseg.data import native as _native
