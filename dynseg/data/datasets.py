@@ -276,8 +276,12 @@ def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
         lab = glob.glob(os.path.join(path, f"{stem}_labels.*"))
         if not img or not lab:
             raise FileNotFoundError(f"missing {stem} pair under {path!r}")
-        im = _read_image(img[0]).astype(np.float32)
-        mk = _read_image(lab[0]).astype(np.int32)
+
+        def read(f):  # .npy supports >3-band imagery (PNG/TIFF cap at RGB+A)
+            return np.load(f) if f.lower().endswith(".npy") else _read_image(f)
+
+        im = read(img[0]).astype(np.float32)
+        mk = read(lab[0]).astype(np.int32)
         mk = np.where(mk == 0, IGNORE_LABEL, mk - 1)
         return im, mk
 

@@ -351,3 +351,39 @@ def test_predict_chunked_matches_unchunked(tmp_path):
     assert len(p_all) == len(p_chunk) == test_tiles.num_tiles
     for a, b in zip(p_all, p_chunk):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_multiband_training_end_to_end(tmp_path):
+    """4-band (RGBIR-style) imagery through the real loader + CLI: the
+    model must adapt num_input_bands from the data and train/evaluate."""
+    rng = np.random.default_rng(9)
+    root = tmp_path / "grss"
+    root.mkdir()
+    for stem in ("train", "test"):
+        classes = np.kron(rng.integers(0, 4, (8, 8)), np.ones((6, 6), np.int64))
+        img = np.stack([classes * 50 + rng.integers(0, 12, classes.shape)
+                        for _ in range(4)], axis=-1).astype(np.float32)
+        np.save(root / f"{stem}_image.npy", img)
+        np.save(root / f"{stem}_labels.npy", (classes + 1).astype(np.uint8))
+
+    out = tmp_path / "out"
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "grss_dfc_2014",
+        "--dataset_path", str(root),
+        "--output_path", str(out),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "40",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=40)
+    scores = run_training(cfg, log=lambda *_: None)
+    assert scores["oa"] > 0.7, scores["oa"]
+    # the checkpoint sidecar must record 4 bands for the predict path
+    import json as _json
+
+    stats = _json.load(open(out / "checkpoints" / "stats.json"))
+    assert stats["num_input_bands"] == 4
