@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="dynseg",
         description="TPU-native dynamic multi-context remote-sensing segmentation",
     )
+    from dynseg import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"dynseg-tpu {__version__}")
     # --- reference-compatible flags (SURVEY.md C1) ---
     p.add_argument("--operation", required=True,
                    choices=["training", "testing", "validate_test", "predict",
