@@ -118,6 +118,58 @@ def check_inference_mpx(big: int) -> float:
     return mpxs
 
 
+def check_export_serving() -> None:
+    """The deployment layer on hardware: export artifacts must reproduce
+    the live model, and the uint8 dense-labels fast path must agree with
+    the probs path (dynseg/export.py, dynseg/serve.py)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from dynseg.config import Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig
+    from dynseg.export import ExportedPredictor, export_predictor
+    from dynseg.models.dilated import build_model
+    from dynseg.serve import ServingEngine
+
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_icpr_rate6", num_classes=6,
+                          num_input_bands=3),
+        sched=SchedulerConfig(values=(25, 35)),
+        train=TrainConfig(batch_size=4),
+        infer=InferConfig(scales=(25, 35), dense_halo=40),
+        data=DataConfig(dataset="synthetic"),
+    )
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 25, 25, 3)), train=False)
+    mean = np.full(3, 80.0, np.float32)
+    std = np.full(3, 40.0, np.float32)
+    with tempfile.TemporaryDirectory() as tmp:
+        export_predictor(cfg, variables, mean, std, tmp)
+        pred = ExportedPredictor.load(tmp)
+        raw = np.random.default_rng(0).integers(
+            0, 256, (2, 64, 64, 3)).astype(np.float32)
+        got = pred.probs(raw)
+        want = np.asarray(jax.nn.softmax(model.apply(
+            variables, (jnp.asarray(raw) - mean) / std,
+            train=False).astype(jnp.float32), -1))
+        # The artifact and the live model are two separate XLA lowerings
+        # of the same f32 math; on TPU fusion/reassociation differences
+        # show at ~1e-4 in softmax outputs (CPU roundtrips are 1e-5
+        # exact — tests/test_export.py). Check probs loosely and labels
+        # tightly.
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-2)
+        agree_lbl = (got.argmax(-1) == want.argmax(-1)).mean()
+        assert agree_lbl > 0.995, agree_lbl
+        eng = ServingEngine(pred, dense_block=256)
+        img8 = raw[0].astype(np.uint8)
+        labels_fast, _ = eng.predict(img8, mode="dense", want_probs=False)
+        labels_ref, _ = eng.predict(img8, mode="dense", want_probs=True)
+        agree = (labels_fast == labels_ref).mean()
+        assert agree > 0.999, agree
+    print("export/serving parity: OK", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--big_tile", type=int, default=1024)
@@ -128,4 +180,5 @@ if __name__ == "__main__":
     check_gather_parity_uint8()
     check_train_smoke()
     check_inference_mpx(args.big_tile)
+    check_export_serving()
     print("ALL TPU CHECKS PASSED")
