@@ -142,8 +142,10 @@ def run_infer_bench(env_extra=None):
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
-    except Exception:
-        pass
+        print(f"infer bench produced no RESULT:\n{out.stderr[-2000:]}",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — best-effort leg, but say why
+        print(f"infer bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
     return None  # inference extras are best-effort; train metric stands
 
 

@@ -433,6 +433,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
             f"(CLI --dataset was {cfg.data.dataset!r})")
 
     paths = []
+    inf = None  # reused across chunks: jitted wrappers persist, so the
+    # bucketed shapes hit JAX's executable cache instead of re-tracing
     for lo in range(0, len(files), chunk):
         tiles, names = load_rasters(files[lo : lo + chunk],
                                     pad_to_multiple=pad_mult)
@@ -446,7 +448,10 @@ def run_predict(cfg: Config, predict_path: str, log=print,
 
         # Same fetch pipeline as validate_test: tile t's map downloads
         # while tile t+1 computes.
-        inf = Inferencer(cfg, tiles)
+        if inf is None:
+            inf = Inferencer(cfg, tiles)
+        else:
+            inf.set_tiles(tiles)
         pending = inf.predict_tile_device(variables, 0, scales)
         for t in range(tiles.num_tiles):
             nxt = (inf.predict_tile_device(variables, t + 1, scales)
@@ -460,7 +465,7 @@ def run_predict(cfg: Config, predict_path: str, log=print,
                 [pred], palette_ds, cfg.train.output_path, names=[names[t]],
             )
             log(f"tile {names[t]}: {w}x{h} -> {paths[-1]}")
-        del inf, tiles  # free host + device memory before the next chunk
+        del tiles  # free the chunk's host copy (inf holds device buffers)
     return paths
 
 

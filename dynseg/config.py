@@ -196,8 +196,6 @@ class Config:
         check(len(self.sched.values) >= 1, "--values must name >=1 patch size")
         check(all(int(v) >= 1 for v in self.sched.values),
               f"patch sizes must be >=1, got {tuple(self.sched.values)}")
-        check(self.sched.distribution_type != "single_fixed"
-              or len(self.sched.values) >= 1, "single_fixed needs a value")
         check(self.train.batch_size >= 1,
               f"batch_size must be >=1, got {self.train.batch_size}")
         check(self.train.niter >= 0,
@@ -214,6 +212,7 @@ class Config:
               f"inference mode {self.infer.mode!r} not in ('window','dense')")
         check(self.infer.eroded_boundary_radius >= 0,
               "eval_eroded_boundaries must be >=0")
-        check(not self.train.shard_tiles or self.train.num_devices >= 1,
-              "shard_tiles requires a device mesh")
+        check(not self.train.shard_tiles or self.train.num_devices > 1,
+              "--shard_tiles requires --num_devices > 1 (a device mesh "
+              "to shard the tile axis over)")
         return self

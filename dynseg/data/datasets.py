@@ -331,8 +331,10 @@ def load_rasters(files: List[str], pad_to_multiple: int = 1
     ims = list(_decode_pool().map(load_one, files))
     mks = [np.full(im.shape[:2], IGNORE_LABEL, np.int32) for im in ims]
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
-    return pack_tiles(ims, mks, pad_to_multiple=pad_to_multiple,
-                      reflect_fill=pad_to_multiple > 1), names
+    # NOTE: no reflect fill here — the Inferencer extends each tile's
+    # mirrored context after ITS padding step (infer._fill_padded_context),
+    # which is the only placement that keeps chunked == unchunked.
+    return pack_tiles(ims, mks, pad_to_multiple=pad_to_multiple), names
 
 
 LOADERS = {

@@ -70,17 +70,15 @@ def _reflect_fill(a: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def pack_tiles(
     images: Sequence[np.ndarray], masks: Sequence[np.ndarray],
-    pad_to_multiple: int = 1, reflect_fill: bool = False,
+    pad_to_multiple: int = 1,
 ) -> TileSet:
     """Pad a list of variably-sized (H,W,C) tiles into one dense array.
 
     Padding area gets IGNORE_LABEL in the mask so it never contributes to
     sampling, loss, or metrics. pad_to_multiple > 1 rounds the packed
     shape up — chunked prediction uses it to BUCKET shapes so different
-    chunks reuse the same compiled programs. reflect_fill fills the image
-    padding by reflection instead of zeros, so edge windows of a
-    smaller-than-pack tile see the same mirrored context they would at
-    their exact size (chunked == unchunked predictions).
+    chunks reuse the same compiled programs. (Inference reflect-fills
+    each tile's image padding itself — infer._fill_padded_context.)
     """
     assert len(images) == len(masks) and len(images) > 0
     hs = [im.shape[0] for im in images]
@@ -99,8 +97,6 @@ def pack_tiles(
         out_im[t, :h, :w] = im.astype(np.float32)
         out_mk[t, :h, :w] = mk.astype(np.int32)
         valid[t] = (h, w)
-        if reflect_fill and (h < H or w < W):
-            out_im[t] = _reflect_fill(out_im[t], h, w)
     return TileSet(images=out_im, masks=out_mk, valid_hw=valid)
 
 

@@ -55,21 +55,28 @@ def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[i
     return out or [min(lim, max(0, lo))]
 
 
-def _reflect_fill_tileset(tiles: TileSet) -> TileSet:
-    """Copy of `tiles` with each image's padding area (beyond valid_hw)
-    filled by reflection of its own data; masks untouched (IGNORE)."""
+def _fill_padded_context(padded: TileSet, pad: int) -> TileSet:
+    """For every tile smaller than the packed shape, extend the tile's
+    OWN mirrored context across the pack slack AND the mirror margin
+    (in place on the freshly-padded array — no extra copy).
+
+    Why after mirror_pad: filling only up to the packed shape and then
+    mirror-padding reflects around the PACK boundary; when the slack is
+    smaller than the window/halo overhang, edge windows would see that
+    wrapped context instead of the tile's own reflection — diverging
+    between pack shapes (caught by review; regression-tested)."""
     from dynseg.data.tiles import _reflect_fill
 
-    T, H, W = tiles.images.shape[:3]
-    if all(int(h) == H and int(w) == W for h, w in tiles.valid_hw):
-        return tiles
-    images = np.array(tiles.images)  # host copy
+    T, Hp, Wp = padded.images.shape[:3]
+    H, W = Hp - 2 * pad, Wp - 2 * pad
     for t in range(T):
-        h, w = (int(x) for x in tiles.valid_hw[t])
+        h, w = (int(x) for x in padded.valid_hw[t])
         if h < H or w < W:
-            images[t] = _reflect_fill(images[t], h, w)
-    return TileSet(images=images, masks=tiles.masks,
-                   valid_hw=tiles.valid_hw, mean=tiles.mean, std=tiles.std)
+            # Source region includes the top/left mirror rows, so the
+            # fill reproduces a per-tile mirror at the valid edge.
+            padded.images[t] = _reflect_fill(
+                padded.images[t], pad + h, pad + w)
+    return padded
 
 
 class Inferencer:
@@ -86,12 +93,6 @@ class Inferencer:
         self.scales = [int(s) for s in cfg.infer.scales]
         # Pad covers both window context and the dense-mode halo.
         self.pad = max(max(self.scales), cfg.infer.dense_halo)
-        # Tiles smaller than the packed shape must see REFLECTED context
-        # beyond their valid edge, exactly like the reference's per-tile
-        # mirror pad ([R] manipulate_border_array; SURVEY.md C14) — the
-        # pack's zero fill would leak zeros into their edge windows.
-        self.tiles = _reflect_fill_tileset(tiles)
-        self.padded = mirror_pad(self.tiles, self.pad)
         self.mesh = mesh
         if mesh is not None:
             P = jax.sharding.PartitionSpec
@@ -99,6 +100,33 @@ class Inferencer:
             self._shard_b = jax.sharding.NamedSharding(mesh, P(None, "data"))
         else:
             self._repl = self._shard_b = None
+        self.nc = cfg.model.num_classes
+        self.n_dev = 1 if mesh is None else mesh.devices.size
+        self._accumulate = jax.jit(
+            self._accumulate_impl,
+            static_argnames=("size",),
+            donate_argnames=("prob", "cnt"),
+        )
+        self._dense = jax.jit(
+            self._dense_impl,
+            static_argnames=("block", "halo"),
+            donate_argnames=("prob",),
+        )
+        self.set_tiles(tiles)
+
+    def set_tiles(self, tiles: TileSet) -> None:
+        """Bind (or re-bind) the tile set. Chunked prediction calls this
+        per chunk so the jitted wrappers persist — identical bucketed
+        shapes hit JAX's in-process executable cache instead of
+        re-tracing and re-lowering every chunk."""
+        cfg = self.cfg
+        # Tiles smaller than the packed shape must see REFLECTED context
+        # beyond their valid edge, exactly like the reference's per-tile
+        # mirror pad ([R] manipulate_border_array; SURVEY.md C14) — the
+        # pack's zero fill would leak zeros into their edge windows.
+        self.tiles = tiles
+        self.padded = _fill_padded_context(mirror_pad(tiles, self.pad),
+                                           self.pad)
         from dynseg.data.tiles import storage_dtype
 
         sd = storage_dtype(self.padded.images)
@@ -113,20 +141,21 @@ class Inferencer:
             self.images = packed  # host numpy; _tile() uploads on demand
         else:
             self.images = jax.device_put(packed, self._repl)
+        # mean/std are CLOSED OVER by the jitted impls, i.e. baked into
+        # compiled programs as constants (docs/DESIGN.md scale-proofing
+        # rule) — a re-bind must therefore keep the same stats.
+        if getattr(self, "_stats_bound", None) is not None:
+            m0, s0 = self._stats_bound
+            if not (np.array_equal(m0, np.asarray(tiles.mean))
+                    and np.array_equal(s0, np.asarray(tiles.std))):
+                raise ValueError(
+                    "set_tiles with different normalization stats — the "
+                    "stats are baked into the compiled programs; build a "
+                    "new Inferencer instead"
+                )
+        self._stats_bound = (np.asarray(tiles.mean), np.asarray(tiles.std))
         self.mean = jax.device_put(tiles.mean, self._repl)
         self.std = jax.device_put(tiles.std, self._repl)
-        self.nc = cfg.model.num_classes
-        self.n_dev = 1 if mesh is None else mesh.devices.size
-        self._accumulate = jax.jit(
-            self._accumulate_impl,
-            static_argnames=("size",),
-            donate_argnames=("prob", "cnt"),
-        )
-        self._dense = jax.jit(
-            self._dense_impl,
-            static_argnames=("block", "halo"),
-            donate_argnames=("prob",),
-        )
 
     def _tile(self, tile_idx: int) -> jnp.ndarray:
         """Device array of one padded tile (upload on demand in streaming

@@ -213,6 +213,8 @@ class ServingEngine:
                 scales: Optional[List[int]] = None,
                 want_probs: bool = True,
                 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        if mode not in ("window", "dense"):
+            raise ValueError(f"mode must be 'window' or 'dense', got {mode!r}")
         if img.ndim == 2:
             img = img[..., None]
         if img.ndim != 3 or img.shape[-1] != self.bands:
@@ -242,6 +244,10 @@ class ServerStats:
 
     def record(self, mode: str, seconds: float, pixels: int,
                error: bool = False) -> None:
+        # Bound the key space: mode is client-controlled; arbitrary
+        # strings must not grow /metrics (or server memory) per request.
+        if mode not in ("window", "dense"):
+            mode = "invalid"
         with self._lock:
             m = self._by_mode.setdefault(
                 mode, {"requests": 0, "errors": 0, "pixels": 0, "lat": []})

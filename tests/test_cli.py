@@ -53,13 +53,16 @@ def test_session2_flags_roundtrip():
     cfg = _cfg([
         "--scan_chunk", "16", "--dense_scan_chunk", "2",
         "--metric_fetch_depth", "4", "--shard_tiles",
-        "--hbm_budget_gb", "2.5",
+        "--num_devices", "2", "--hbm_budget_gb", "2.5",
     ])
     assert cfg.infer.scan_chunk == 16
     assert cfg.infer.dense_scan_chunk == 2
     assert cfg.train.metric_fetch_depth == 4
     assert cfg.train.shard_tiles
     assert cfg.infer.hbm_budget_gb == 2.5
+    # sharding the tile axis needs a mesh to shard over
+    with pytest.raises(ValueError, match="shard_tiles"):
+        _cfg(["--shard_tiles"])
 
 
 def test_predict_operation_flags():

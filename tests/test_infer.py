@@ -301,3 +301,11 @@ def test_unequal_tile_sizes_match_solo_prediction(rng):
     prob_packed = predict_first(
         pack_tiles([small, big], [zeros(small), zeros(big)]))
     np.testing.assert_allclose(prob_packed, prob_solo, atol=1e-5, rtol=1e-4)
+
+    # HAZARD ZONE (review regression): pack slack SMALLER than the
+    # window overhang — a naive fill-then-mirror wraps at the pack
+    # boundary and diverges from the solo prediction.
+    near = rng.uniform(0, 255, size=(30, 28, 3)).astype(np.float32)
+    prob_near = predict_first(
+        pack_tiles([small, near], [zeros(small), zeros(near)]))
+    np.testing.assert_allclose(prob_near, prob_solo, atol=1e-5, rtol=1e-4)
