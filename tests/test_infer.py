@@ -309,3 +309,28 @@ def test_unequal_tile_sizes_match_solo_prediction(rng):
     prob_near = predict_first(
         pack_tiles([small, near], [zeros(small), zeros(near)]))
     np.testing.assert_allclose(prob_near, prob_solo, atol=1e-5, rtol=1e-4)
+
+
+def test_set_tiles_reuses_compiled_programs(rng):
+    """Chunked prediction's Inferencer reuse: a re-bind with same-shape
+    tiles must hit the existing jit cache (no new trace), and a re-bind
+    with different normalization stats must be refused (stats are baked
+    into the compiled programs as closure constants)."""
+    cfg = cfg_for(scales=(12,), window_batch=8)
+    ts1 = _tileset(rng, h=24, w=24)
+    ts2 = _tileset(rng, h=24, w=24)
+    ts2.mean, ts2.std = ts1.mean, ts1.std  # same stats: re-bind allowed
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    inf = Inferencer(cfg, ts1)
+    p1, _ = inf.predict_tile(variables, 0)
+    n_traces = inf._accumulate._cache_size()
+    inf.set_tiles(ts2)
+    p2, _ = inf.predict_tile(variables, 0)
+    assert inf._accumulate._cache_size() == n_traces  # no re-trace
+    assert p2.shape == p1.shape
+
+    ts3 = _tileset(rng, h=24, w=24)  # its own stats: different
+    with pytest.raises(ValueError, match="normalization stats"):
+        inf.set_tiles(ts3)
