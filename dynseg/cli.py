@@ -143,6 +143,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="also report metrics vs ground truth with class "
                         "boundaries eroded by this radius (ISPRS "
                         "benchmark protocol uses ~3 px)")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time dihedral augmentation: fuse softmax "
+                        "maps over the 8 rotations/flips (8x compute)")
     p.add_argument("--export_platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for "
                         "--operation export (jax.export platforms)")
@@ -201,6 +204,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dense_scan_chunk=args.dense_scan_chunk,
             hbm_budget_gb=args.hbm_budget_gb,
             eroded_boundary_radius=args.eval_eroded_boundaries,
+            tta=args.tta,
         ),
         data=DataConfig(
             dataset=args.dataset,

@@ -150,6 +150,9 @@ class InferConfig:
     # with class boundaries eroded by this Chebyshev radius (~3 px on
     # Vaihingen/Potsdam). 0 = full-GT metrics only (reference default).
     eroded_boundary_radius: int = 0
+    # Test-time dihedral augmentation: average softmax maps over the 8
+    # rotations/flips (beyond reference; 8x inference compute, on device).
+    tta: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

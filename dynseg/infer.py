@@ -55,6 +55,23 @@ def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[i
     return out or [min(lim, max(0, lo))]
 
 
+def _dihedral_img(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Apply dihedral transform k in [0, 8) to one (H, W, C) image
+    (same convention as ops.gather.dihedral_batch: k>=4 flips the column
+    axis first, then rot90^(k%4)). k is a static Python int."""
+    if k >= 4:
+        x = jnp.flip(x, axis=1)
+    return jnp.rot90(x, k % 4, axes=(0, 1))
+
+
+def _dihedral_inv(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse of _dihedral_img(·, k)."""
+    x = jnp.rot90(x, -(k % 4), axes=(0, 1))
+    if k >= 4:
+        x = jnp.flip(x, axis=1)
+    return x
+
+
 def _fill_padded_context(padded: TileSet, pad: int) -> TileSet:
     """For every tile smaller than the packed shape, extend the tile's
     OWN mirrored context across the pack slack AND the mirror margin
@@ -296,13 +313,19 @@ class Inferencer:
             return_probs=return_probs,
         )
 
-    def _dense_device(self, variables, tile_idx: int, block: int, halo: int):
+    def _dense_device(self, variables, tile_idx: int, block: int, halo: int,
+                      override=None):
         """Dense prediction left ON DEVICE (pred uint8, prob, cnt=None) —
         lets validate_test pipeline tile t's map download under tile
         t+1's compute (the fetch is ~1/3 of warm dense wall time on a
-        tunneled chip)."""
-        h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
-        Hp, Wp = self.padded.images.shape[1:3]
+        tunneled chip). override=(tile_array, h, w) predicts an explicit
+        padded array instead of the packed tile (TTA path)."""
+        if override is not None:
+            tile_arr, h, w = override
+            Hp, Wp = (int(x) for x in tile_arr.shape[:2])
+        else:
+            h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
+            Hp, Wp = self.padded.images.shape[1:3]
         max_h = Hp - 2 * self.pad
         max_w = Wp - 2 * self.pad
         b_r = min(block, max_h)
@@ -331,7 +354,7 @@ class Inferencer:
         )
         # Fixed-size launch chunks (see predict_tile): two programs per
         # (block, halo, D) shape, tile-size independent; async chain.
-        tile = self._tile(tile_idx)
+        tile = self._tile(tile_idx) if override is None else tile_arr
         K = max(1, int(self.cfg.infer.dense_scan_chunk))
         nb = len(starts)
         bulk = (nb // K) * K
@@ -354,11 +377,16 @@ class Inferencer:
         return pred, valid, None
 
     def predict_tile_device(self, variables, tile_idx: int,
-                            scales: Optional[Sequence[int]] = None) -> jnp.ndarray:
+                            scales: Optional[Sequence[int]] = None,
+                            tta: Optional[bool] = None) -> jnp.ndarray:
         """Dispatch one tile's full prediction per cfg.infer.mode and
         return the DEVICE uint8 argmax map — callers pipeline the host
         download under the next tile's compute (validate_test,
-        cli.run_predict)."""
+        cli.run_predict). tta averages softmax maps over the 8 dihedral
+        transforms (beyond-reference; entirely on device)."""
+        tta = self.cfg.infer.tta if tta is None else tta
+        if tta:
+            return self._tta_device(variables, tile_idx, scales)
         if self.cfg.infer.mode == "dense":
             pred, _, _ = self._dense_device(
                 variables, tile_idx, block=self.cfg.infer.dense_block,
@@ -367,6 +395,40 @@ class Inferencer:
         else:
             pred, _, _ = self._window_device(variables, tile_idx, scales)
         return pred
+
+    def _tta_device(self, variables, tile_idx: int,
+                    scales: Optional[Sequence[int]] = None) -> jnp.ndarray:
+        """Test-time dihedral augmentation: predict each of the 8
+        rotations/flips, inverse-transform the softmax maps, average,
+        argmax — all on device (only the uint8 labels download).
+
+        The TILE-EXACT padded crop is transformed (not the packed array):
+        thanks to the per-tile reflect fill, rows/cols [0, h+2*pad) x
+        [0, w+2*pad) of the padded pack ARE the solo mirror-padded tile,
+        so the valid block stays at [pad : pad+h'] for every transform.
+        Costs 8x compute and compiles per distinct tile size (opt-in)."""
+        h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
+        p = self.pad
+        solo = self._tile(tile_idx)[: h + 2 * p, : w + 2 * p]
+        acc = None
+        for k in range(8):
+            tile_k = _dihedral_img(solo, k)
+            hk, wk = (w, h) if k % 4 in (1, 3) else (h, w)
+            if self.cfg.infer.mode == "dense":
+                _, valid_k, _ = self._dense_device(
+                    variables, tile_idx, block=self.cfg.infer.dense_block,
+                    halo=self.cfg.infer.dense_halo,
+                    override=(tile_k, hk, wk),
+                )
+                prob_k = valid_k
+            else:
+                _, valid_k, cnt_k = self._window_device(
+                    variables, tile_idx, scales, override=(tile_k, hk, wk)
+                )
+                prob_k = valid_k / jnp.maximum(cnt_k, 1e-9)[..., None]
+            prob_k = _dihedral_inv(prob_k, k)  # back to (h, w, nc)
+            acc = prob_k if acc is None else acc + prob_k
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 
     @staticmethod
     def _finish(pred, prob, cnt, return_probs: bool):
@@ -398,12 +460,17 @@ class Inferencer:
         )
 
     def _window_device(self, variables, tile_idx: int,
-                       scales: Optional[Sequence[int]] = None):
+                       scales: Optional[Sequence[int]] = None,
+                       override=None):
         """Window-voting prediction left ON DEVICE (see _dense_device)."""
         scales = [int(s) for s in (scales or self.scales)]
-        h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
-        Hp, Wp = self.padded.images.shape[1:3]
-        tile = self._tile(tile_idx)
+        if override is not None:
+            tile, h, w = override
+            Hp, Wp = (int(x) for x in tile.shape[:2])
+        else:
+            h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
+            Hp, Wp = self.padded.images.shape[1:3]
+            tile = self._tile(tile_idx)
         prob = jax.device_put(
             jnp.zeros((Hp, Wp, self.nc), jnp.float32), self._repl
         )

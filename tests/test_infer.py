@@ -334,3 +334,64 @@ def test_set_tiles_reuses_compiled_programs(rng):
     ts3 = _tileset(rng, h=24, w=24)  # its own stats: different
     with pytest.raises(ValueError, match="normalization stats"):
         inf.set_tiles(ts3)
+
+
+def test_dihedral_inverse_property(rng):
+    from dynseg.infer import _dihedral_img, _dihedral_inv
+
+    x = jnp.asarray(rng.normal(size=(7, 5, 3)).astype(np.float32))
+    for k in range(8):
+        np.testing.assert_array_equal(
+            np.asarray(_dihedral_inv(_dihedral_img(x, k), k)), np.asarray(x))
+
+
+def test_tta_matches_host_composition(rng):
+    """--tta: the on-device 8-transform fusion must equal predicting each
+    dihedral variant of the raster separately (through the SAME pipeline)
+    and averaging the inverse-transformed probability maps on host."""
+    from dynseg.data.tiles import pack_tiles
+    from dynseg.infer import _dihedral_img, _dihedral_inv
+
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    h, w = 26, 22
+    img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    def tileset_for(im):
+        ts = pack_tiles([im], [np.zeros(im.shape[:2], np.int32)])
+        ts.mean = np.zeros(3, np.float32)
+        ts.std = np.ones(3, np.float32)
+        return ts
+
+    inf = Inferencer(cfg, tileset_for(img))
+    pred_tta = np.asarray(
+        inf.predict_tile_device(variables, 0, tta=True)).astype(np.int32)
+
+    acc = None
+    for k in range(8):
+        im_k = np.asarray(_dihedral_img(jnp.asarray(img), k))
+        inf_k = Inferencer(cfg, tileset_for(im_k))
+        _, prob_k = inf_k.predict_tile(variables, 0, return_probs=True)
+        prob_k = np.asarray(_dihedral_inv(jnp.asarray(prob_k), k))
+        acc = prob_k if acc is None else acc + prob_k
+    ref = acc.argmax(-1)
+    agree = (pred_tta == ref).mean()
+    assert agree > 0.995, agree
+
+
+def test_tta_through_validate_test(rng):
+    """cfg.infer.tta flows through validate_test (both modes run)."""
+    import dataclasses
+
+    for mode in ("window", "dense"):
+        cfg = cfg_for(scales=(12,), window_batch=16)
+        cfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(
+                cfg.infer, tta=True, mode=mode, dense_block=16,
+                dense_halo=30))
+        ts = _tileset(rng, h=24, w=24)
+        model = build_model(cfg.model)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+        scores = validate_test(cfg, variables, ts, log=lambda *_: None)
+        assert int(scores["confusion"].sum()) == 24 * 24
