@@ -211,7 +211,7 @@ class ServingEngine:
     # -- request-level API ---------------------------------------------- #
     def predict(self, img: np.ndarray, mode: str = "window",
                 scales: Optional[List[int]] = None,
-                want_probs: bool = True,
+                want_probs: bool = True, tta: bool = False,
                 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         if mode not in ("window", "dense"):
             raise ValueError(f"mode must be 'window' or 'dense', got {mode!r}")
@@ -221,6 +221,20 @@ class ServingEngine:
             raise ValueError(
                 f"expected (H, W, {self.bands}) raster, got {img.shape}"
             )
+        if tta:
+            # dihedral test-time augmentation (8x compute): transform the
+            # raster, predict, inverse-transform the map, average.
+            acc = None
+            for k in range(8):
+                im_k = np.rot90(img[:, ::-1] if k >= 4 else img, k % 4)
+                p_k = (self.dense(im_k) if mode == "dense"
+                       else self.window(im_k, scales))
+                p_k = np.rot90(p_k, -(k % 4))
+                if k >= 4:
+                    p_k = p_k[:, ::-1]
+                acc = p_k if acc is None else acc + p_k
+            probs = acc / 8.0
+            return probs.argmax(-1).astype(np.int32), probs
         if (mode == "dense" and not want_probs and img.dtype == np.uint8
                 and self.p.has("dense_labels")):
             # labels fast path: uint8 up, device argmax, uint8 down.
@@ -366,7 +380,8 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                                    self.headers.get("Content-Type", ""))
                 labels, probs = engine.predict(
                     img, mode=mode, scales=scales,
-                    want_probs=(output == "probs"))
+                    want_probs=(output == "probs"),
+                    tta=q.get("tta", ["0"])[0] in ("1", "true"))
                 px = int(labels.size)
                 if output == "png":
                     body = _encode_png(labels, manifest.get("dataset"))
