@@ -56,20 +56,16 @@ def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[i
 
 
 def _dihedral_img(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Apply dihedral transform k in [0, 8) to one (H, W, C) image
-    (same convention as ops.gather.dihedral_batch: k>=4 flips the column
-    axis first, then rot90^(k%4)). k is a static Python int."""
-    if k >= 4:
-        x = jnp.flip(x, axis=1)
-    return jnp.rot90(x, k % 4, axes=(0, 1))
+    """Transform k on device (shared convention: ops.dihedral)."""
+    from dynseg.ops.dihedral import dihedral
+
+    return dihedral(x, k, jnp)
 
 
 def _dihedral_inv(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Inverse of _dihedral_img(·, k)."""
-    x = jnp.rot90(x, -(k % 4), axes=(0, 1))
-    if k >= 4:
-        x = jnp.flip(x, axis=1)
-    return x
+    from dynseg.ops.dihedral import dihedral_inv
+
+    return dihedral_inv(x, k, jnp)
 
 
 def _fill_padded_context(padded: TileSet, pad: int) -> TileSet:
@@ -137,6 +133,18 @@ class Inferencer:
         shapes hit JAX's in-process executable cache instead of
         re-tracing and re-lowering every chunk."""
         cfg = self.cfg
+        # Refuse a stats change BEFORE any rebinding — mean/std are baked
+        # into the compiled programs (see below), and a partially-rebound
+        # Inferencer after a raise would predict new tiles with old stats.
+        if getattr(self, "_stats_bound", None) is not None:
+            m0, s0 = self._stats_bound
+            if not (np.array_equal(m0, np.asarray(tiles.mean))
+                    and np.array_equal(s0, np.asarray(tiles.std))):
+                raise ValueError(
+                    "set_tiles with different normalization stats — the "
+                    "stats are baked into the compiled programs; build a "
+                    "new Inferencer instead"
+                )
         # Tiles smaller than the packed shape must see REFLECTED context
         # beyond their valid edge, exactly like the reference's per-tile
         # mirror pad ([R] manipulate_border_array; SURVEY.md C14) — the
@@ -160,16 +168,7 @@ class Inferencer:
             self.images = jax.device_put(packed, self._repl)
         # mean/std are CLOSED OVER by the jitted impls, i.e. baked into
         # compiled programs as constants (docs/DESIGN.md scale-proofing
-        # rule) — a re-bind must therefore keep the same stats.
-        if getattr(self, "_stats_bound", None) is not None:
-            m0, s0 = self._stats_bound
-            if not (np.array_equal(m0, np.asarray(tiles.mean))
-                    and np.array_equal(s0, np.asarray(tiles.std))):
-                raise ValueError(
-                    "set_tiles with different normalization stats — the "
-                    "stats are baked into the compiled programs; build a "
-                    "new Inferencer instead"
-                )
+        # rule) — the guard at the top of set_tiles enforces this.
         self._stats_bound = (np.asarray(tiles.mean), np.asarray(tiles.std))
         self.mean = jax.device_put(tiles.mean, self._repl)
         self.std = jax.device_put(tiles.std, self._repl)
@@ -297,6 +296,7 @@ class Inferencer:
         block: int = 256,
         halo: int = 40,
         return_probs: bool = True,
+        tta: Optional[bool] = None,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Dense (single-context, full-receptive-field) prediction.
         Returns (pred (h,w) int32, prob (h,w,nc) float32 or None) in VALID
@@ -306,8 +306,13 @@ class Inferencer:
 
         halo must be >= the network's receptive-field radius for exactness
         (~34 px for rate6, ~37 for grsl_rate8; default 40) and <= the tile
-        mirror pad."""
+        mirror pad. With tta (default cfg.infer.tta) the prob map is the
+        8-way dihedral fusion (uses cfg dense_block/dense_halo)."""
         assert halo <= self.pad, (halo, self.pad)
+        tta = self.cfg.infer.tta if tta is None else tta
+        if tta:
+            pred, prob = self._tta_device(variables, tile_idx, mode="dense")
+            return self._finish(pred, prob, None, return_probs=return_probs)
         return self._finish(
             *self._dense_device(variables, tile_idx, block, halo),
             return_probs=return_probs,
@@ -330,7 +335,10 @@ class Inferencer:
         max_w = Wp - 2 * self.pad
         b_r = min(block, max_h)
         b_c = min(block, max_w)
-        block_eff = max(8, min(b_r, b_c))
+        # No floor of 8: a sliver tile (h or w < 8) must clamp all the
+        # way down or the halo'd block exceeds the padded extent
+        # (dynamic_slice out of range — hit via the TTA override path).
+        block_eff = max(1, min(b_r, b_c))
 
         def starts_1d(extent: int) -> List[int]:
             ss = list(range(self.pad, self.pad + max(1, extent - block_eff + 1), block_eff))
@@ -386,7 +394,8 @@ class Inferencer:
         transforms (beyond-reference; entirely on device)."""
         tta = self.cfg.infer.tta if tta is None else tta
         if tta:
-            return self._tta_device(variables, tile_idx, scales)
+            pred, _ = self._tta_device(variables, tile_idx, scales)
+            return pred
         if self.cfg.infer.mode == "dense":
             pred, _, _ = self._dense_device(
                 variables, tile_idx, block=self.cfg.infer.dense_block,
@@ -397,16 +406,19 @@ class Inferencer:
         return pred
 
     def _tta_device(self, variables, tile_idx: int,
-                    scales: Optional[Sequence[int]] = None) -> jnp.ndarray:
+                    scales: Optional[Sequence[int]] = None,
+                    mode: Optional[str] = None):
         """Test-time dihedral augmentation: predict each of the 8
         rotations/flips, inverse-transform the softmax maps, average,
-        argmax — all on device (only the uint8 labels download).
+        argmax — all on device. Returns (pred u8, fused prob) DEVICE
+        arrays; label-only callers download just the uint8 map.
 
         The TILE-EXACT padded crop is transformed (not the packed array):
         thanks to the per-tile reflect fill, rows/cols [0, h+2*pad) x
         [0, w+2*pad) of the padded pack ARE the solo mirror-padded tile,
         so the valid block stays at [pad : pad+h'] for every transform.
         Costs 8x compute and compiles per distinct tile size (opt-in)."""
+        mode = self.cfg.infer.mode if mode is None else mode
         h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
         p = self.pad
         solo = self._tile(tile_idx)[: h + 2 * p, : w + 2 * p]
@@ -414,7 +426,7 @@ class Inferencer:
         for k in range(8):
             tile_k = _dihedral_img(solo, k)
             hk, wk = (w, h) if k % 4 in (1, 3) else (h, w)
-            if self.cfg.infer.mode == "dense":
+            if mode == "dense":
                 _, valid_k, _ = self._dense_device(
                     variables, tile_idx, block=self.cfg.infer.dense_block,
                     halo=self.cfg.infer.dense_halo,
@@ -428,7 +440,8 @@ class Inferencer:
                 prob_k = valid_k / jnp.maximum(cnt_k, 1e-9)[..., None]
             prob_k = _dihedral_inv(prob_k, k)  # back to (h, w, nc)
             acc = prob_k if acc is None else acc + prob_k
-        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+        prob = acc / 8.0
+        return jnp.argmax(prob, axis=-1).astype(jnp.uint8), prob
 
     @staticmethod
     def _finish(pred, prob, cnt, return_probs: bool):
@@ -449,11 +462,18 @@ class Inferencer:
         tile_idx: int,
         scales: Optional[Sequence[int]] = None,
         return_probs: bool = True,
+        tta: Optional[bool] = None,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Softmax-vote prediction for one tile across all scales.
         Returns (pred (h,w) int32, prob (h,w,nc) float32 or None) in VALID
         coords (see predict_tile_dense on why return_probs=False is the
-        fast path on remote TPUs)."""
+        fast path on remote TPUs). With tta (default cfg.infer.tta) the
+        prob map is the 8-way dihedral fusion."""
+        tta = self.cfg.infer.tta if tta is None else tta
+        if tta:
+            pred, prob = self._tta_device(variables, tile_idx, scales,
+                                          mode="window")
+            return self._finish(pred, prob, None, return_probs=return_probs)
         return self._finish(
             *self._window_device(variables, tile_idx, scales),
             return_probs=return_probs,

@@ -223,15 +223,17 @@ class ServingEngine:
             )
         if tta:
             # dihedral test-time augmentation (8x compute): transform the
-            # raster, predict, inverse-transform the map, average.
+            # raster, predict, inverse-transform the map, average. The
+            # transform convention is SHARED with the on-device --tta
+            # path (dynseg.ops.dihedral) so the two cannot drift.
+            from dynseg.ops.dihedral import dihedral, dihedral_inv
+
             acc = None
             for k in range(8):
-                im_k = np.rot90(img[:, ::-1] if k >= 4 else img, k % 4)
+                im_k = np.ascontiguousarray(dihedral(img, k, np))
                 p_k = (self.dense(im_k) if mode == "dense"
                        else self.window(im_k, scales))
-                p_k = np.rot90(p_k, -(k % 4))
-                if k >= 4:
-                    p_k = p_k[:, ::-1]
+                p_k = dihedral_inv(p_k, k, np)
                 acc = p_k if acc is None else acc + p_k
             probs = acc / 8.0
             return probs.argmax(-1).astype(np.int32), probs

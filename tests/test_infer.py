@@ -395,3 +395,63 @@ def test_tta_through_validate_test(rng):
         variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
         scores = validate_test(cfg, variables, ts, log=lambda *_: None)
         assert int(scores["confusion"].sum()) == 24 * 24
+
+
+def test_dihedral_convention_shared_across_libraries(rng):
+    """One convention, two array libraries: numpy (serving) and jnp
+    (on-device TTA) must produce identical transforms."""
+    from dynseg.ops.dihedral import dihedral, dihedral_inv
+
+    x = rng.normal(size=(6, 9, 2)).astype(np.float32)
+    for k in range(8):
+        np.testing.assert_array_equal(
+            dihedral(x, k, np), np.asarray(dihedral(jnp.asarray(x), k, jnp)))
+        np.testing.assert_array_equal(
+            dihedral_inv(x, k, np),
+            np.asarray(dihedral_inv(jnp.asarray(x), k, jnp)))
+
+
+def test_tta_host_path_and_sliver_tiles(rng):
+    """Review regressions: (a) predict_tile/predict_tile_dense honor tta
+    and return the fused prob map; (b) dense TTA survives sliver tiles
+    (h or w < 8 previously crashed on the block floor)."""
+    import dataclasses
+
+    from dynseg.data.tiles import pack_tiles
+
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, dense_block=16,
+                                       dense_halo=14))
+    sliver = rng.uniform(0, 255, size=(24, 6, 3)).astype(np.float32)
+    ts = pack_tiles([sliver], [np.zeros(sliver.shape[:2], np.int32)])
+    ts.mean = np.zeros(3, np.float32)
+    ts.std = np.ones(3, np.float32)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    inf = Inferencer(cfg, ts)
+
+    pred_w, prob_w = inf.predict_tile(variables, 0, tta=True)
+    assert pred_w.shape == (24, 6) and prob_w.shape == (24, 6, 3)
+    np.testing.assert_allclose(prob_w.sum(-1), 1.0, atol=1e-5)
+
+    pred_d, prob_d = inf.predict_tile_dense(variables, 0, halo=14, tta=True)
+    assert pred_d.shape == (24, 6) and prob_d.shape == (24, 6, 3)
+    np.testing.assert_allclose(prob_d.sum(-1), 1.0, atol=1e-5)
+
+
+def test_set_tiles_guard_leaves_inferencer_usable(rng):
+    """A refused set_tiles (different stats) must not partially rebind —
+    the Inferencer keeps predicting its ORIGINAL tiles correctly."""
+    cfg = cfg_for(scales=(12,), window_batch=8)
+    ts1 = _tileset(rng, h=24, w=24)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    inf = Inferencer(cfg, ts1)
+    pred_before, _ = inf.predict_tile(variables, 0)
+
+    ts_bad = _tileset(rng, h=24, w=24)  # its own (different) stats
+    with pytest.raises(ValueError, match="normalization stats"):
+        inf.set_tiles(ts_bad)
+    pred_after, _ = inf.predict_tile(variables, 0)
+    np.testing.assert_array_equal(pred_before, pred_after)

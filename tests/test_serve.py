@@ -319,7 +319,9 @@ def test_metrics_endpoint(served, rng):
 
 def test_serve_tta_matches_manual_composition(served, rng):
     """?tta=1: the engine's dihedral fusion must equal manually averaging
-    the 8 transform predictions."""
+    the 8 transform predictions (shared convention: dynseg.ops.dihedral)."""
+    from dynseg.ops.dihedral import dihedral, dihedral_inv
+
     _, _, _, _, _, out = served
     eng = ServingEngine(ExportedPredictor.load(out), window_batch=8)
     img = rng.uniform(0, 255, size=(18, 14, 3)).astype(np.float32)
@@ -327,11 +329,8 @@ def test_serve_tta_matches_manual_composition(served, rng):
 
     acc = None
     for k in range(8):
-        im_k = np.rot90(img[:, ::-1] if k >= 4 else img, k % 4)
-        p_k = eng.dense(im_k)
-        p_k = np.rot90(p_k, -(k % 4))
-        if k >= 4:
-            p_k = p_k[:, ::-1]
+        p_k = eng.dense(np.ascontiguousarray(dihedral(img, k, np)))
+        p_k = dihedral_inv(p_k, k, np)
         acc = p_k if acc is None else acc + p_k
     np.testing.assert_allclose(probs, acc / 8.0, atol=1e-6)
     np.testing.assert_array_equal(labels, (acc / 8.0).argmax(-1))
