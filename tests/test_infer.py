@@ -455,3 +455,20 @@ def test_set_tiles_guard_leaves_inferencer_usable(rng):
         inf.set_tiles(ts_bad)
     pred_after, _ = inf.predict_tile(variables, 0)
     np.testing.assert_array_equal(pred_before, pred_after)
+
+
+def test_tta_multi_device_matches_single(rng):
+    """TTA composes with data-parallel inference: the 8-transform fusion
+    on an 8-device mesh must match the single-device result."""
+    ts = _tileset(rng, h=24, w=24)
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    single = Inferencer(cfg, ts)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    multi = Inferencer(cfg, ts, mesh=mesh)
+    p1, pr1 = single.predict_tile(variables, 0, tta=True)
+    p8, pr8 = multi.predict_tile(variables, 0, tta=True)
+    np.testing.assert_array_equal(p1, p8)
+    np.testing.assert_allclose(pr1, pr8, atol=1e-5)
