@@ -55,7 +55,7 @@ def build_argparser() -> argparse.ArgumentParser:
     # --- reference-compatible flags (SURVEY.md C1) ---
     p.add_argument("--operation", required=True,
                    choices=["training", "testing", "validate_test", "predict",
-                            "export", "serve"],
+                            "export", "serve", "info"],
                    help="training; full-tile prediction with metrics "
                         "(testing/validate_test are synonyms); predict = "
                         "inference on unlabeled rasters (--predict_path); "
@@ -126,6 +126,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "restored scheduler distribution (paper: the final "
                         "distribution identifies the best contexts)")
     p.add_argument("--no_prediction_maps", action="store_true")
+    p.add_argument("--error_maps", action="store_true",
+                   help="also write per-tile green/red correctness PNGs")
     p.add_argument("--inference_mode", default="window",
                    choices=["window", "dense"],
                    help="window = reference-parity multi-scale voting; "
@@ -197,6 +199,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             window_batch=args.window_batch,
             scales=tuple(test_scales),
             save_prediction_maps=not args.no_prediction_maps,
+            save_error_maps=args.error_maps,
             mode=args.inference_mode,
             dense_block=args.dense_block,
             dense_halo=args.dense_halo,
@@ -310,11 +313,7 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     mesh = trainer.mesh if cfg.train.num_devices > 1 else None
     scores = validate_test(cfg, variables, test_tiles, log=log, mesh=mesh)
-    if cfg.infer.save_prediction_maps:
-        from dynseg.viz import save_prediction_maps
-        save_prediction_maps(
-            scores["predictions"], cfg.data.dataset, cfg.train.output_path
-        )
+    _save_maps(cfg, scores, test_tiles)
     _write_scores(cfg, scores)
     return scores
 
@@ -363,11 +362,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         mesh = jax.sharding.Mesh(devs, ("data",))
     scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log,
                            mesh=mesh)
-    if cfg.infer.save_prediction_maps:
-        from dynseg.viz import save_prediction_maps
-        save_prediction_maps(
-            scores["predictions"], cfg.data.dataset, cfg.train.output_path
-        )
+    _save_maps(cfg, scores, test_tiles)
     _write_scores(cfg, scores)
     return scores
 
@@ -527,6 +522,75 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
     return out_dir
 
 
+def _save_maps(cfg: Config, scores: dict, test_tiles) -> None:
+    if cfg.infer.save_prediction_maps:
+        from dynseg.viz import save_prediction_maps
+
+        save_prediction_maps(
+            scores["predictions"], cfg.data.dataset, cfg.train.output_path
+        )
+    if cfg.infer.save_error_maps:
+        from dynseg.viz import save_error_maps
+
+        save_error_maps(
+            scores["predictions"], list(test_tiles.masks),
+            cfg.train.output_path,
+        )
+
+
+def run_info(cfg: Config, log=print) -> dict:
+    """Checkpoint model card: architecture, parameter count, training
+    provenance, scheduler state, and best-validation record — everything
+    an operator needs to know about an output_path without loading data."""
+    import jax
+
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+
+    ckpt = CheckpointManager(cfg.train.output_path)
+    stats = ckpt.load_stats()
+    if stats is None:
+        raise FileNotFoundError(
+            f"no stats.json under {ckpt.dir} — not a dynseg output dir "
+            f"(or a pre-sidecar checkpoint)"
+        )
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model,
+        net_type=stats.get("net_type", cfg.model.net_type),
+        num_input_bands=int(stats["num_input_bands"]),
+        num_classes=int(stats["num_classes"]),
+    ))
+    scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    info = {
+        "net_type": cfg.model.net_type,
+        "num_classes": cfg.model.num_classes,
+        "num_input_bands": cfg.model.num_input_bands,
+        "parameters": n_params,
+        "iteration": int(step),
+        "dataset": stats.get("dataset"),
+        "normalization_mean": [round(float(x), 4)
+                               for x in np.ravel(stats["mean"])],
+        "normalization_std": [round(float(x), 4)
+                              for x in np.ravel(stats["std"])],
+        "scheduler": scheduler.summary(),
+        "best": ckpt.best_record(),
+        "checkpoints": sorted(
+            int(s) for s in ([ckpt.latest_step()] if ckpt.latest_step()
+                             is not None else [])),
+        "export": os.path.isdir(
+            os.path.join(cfg.train.output_path, "export")),
+    }
+    for k, v in info.items():
+        log(f"{k}: {v}")
+    return info
+
+
 def _write_scores(cfg: Config, scores: dict) -> None:
     out = {
         "oa": scores["oa"],
@@ -585,6 +649,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             run_export(cfg, platforms=platforms, log=logger,
                        use_best=args.use_best)
+        elif args.operation == "info":
+            run_info(cfg, log=logger)
         elif args.operation == "serve":
             from dynseg.serve import main as serve_main
 

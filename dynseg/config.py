@@ -128,6 +128,8 @@ class InferConfig:
     # Scales fused at test time; default: the training schedule's values.
     scales: Sequence[int] = DEFAULT_SCALES
     save_prediction_maps: bool = True
+    # Per-tile green/red correctness PNGs for error analysis (beyond ref).
+    save_error_maps: bool = False
     # "window": reference-parity multi-scale sliding-window softmax voting.
     # "dense": TPU-native blockwise whole-tile forward (one forward per
     # pixel, full receptive field, ~20x less compute; exact via halo).

@@ -322,7 +322,7 @@ def _encode_png(labels: np.ndarray, dataset: Optional[str]) -> bytes:
 
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 window_batch: int = 64, pipeline_depth: int = 4,
-                dense_block: int = 1024,
+                dense_block: int = 1024, max_request_mb: int = 512,
                 engine: Optional[ServingEngine] = None) -> ThreadingHTTPServer:
     """Bind the HTTP server. Pass a pre-built (and pre-warmed) engine to
     avoid accepting connections before the compiles are done — the
@@ -378,6 +378,17 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 scales = ([int(s) for s in q["scales"][0].split(",")]
                           if "scales" in q else None)
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_request_mb * 1024 * 1024:
+                    # Drain (discard) the body in bounded chunks first —
+                    # responding mid-upload breaks the client's send and
+                    # it never sees the 413.
+                    left = n
+                    while left > 0:
+                        left -= len(self.rfile.read(min(left, 1 << 20)))
+                    stats.record(mode, time.monotonic() - t0, 0, error=True)
+                    return self._json(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                                 f"{max_request_mb} MiB limit"})
                 img = _decode_body(self.rfile.read(n),
                                    self.headers.get("Content-Type", ""))
                 labels, probs = engine.predict(
@@ -439,6 +450,8 @@ def main(argv=None) -> int:
     ap.add_argument("--pipeline_depth", type=int, default=4,
                     help="device calls kept in flight per request "
                          "(1 bounds memory on small hosts)")
+    ap.add_argument("--max_request_mb", type=int, default=512,
+                    help="reject request bodies above this size (413)")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip startup pre-compilation (first request "
                          "then pays the 20-45s remote compile)")
@@ -460,7 +473,8 @@ def main(argv=None) -> int:
         warmup(engine, args.warmup_size)
     # Bind AFTER warmup: the OS queues connections from the moment the
     # socket exists, which read as mysterious first-request stalls.
-    srv = make_server(args.export_dir, args.host, args.port, engine=engine)
+    srv = make_server(args.export_dir, args.host, args.port,
+                      max_request_mb=args.max_request_mb, engine=engine)
     print(f"listening: {args.export_dir} on "
           f"http://{args.host}:{srv.server_port}", flush=True)
     # SIGTERM = clean drain (finish in-flight requests, close the socket).

@@ -39,3 +39,31 @@ def save_prediction_maps(
         Image.fromarray(rgb).save(p)
         paths.append(p)
     return paths
+
+
+def save_error_maps(
+    preds: Sequence[np.ndarray],
+    masks: Sequence[np.ndarray],
+    output_path: str,
+    prefix: str = "errors",
+) -> list:
+    """Per-tile error maps for analysis (beyond reference): green =
+    correct, red = wrong, dark gray = unlabeled/ignored ground truth."""
+    from PIL import Image
+
+    from dynseg.data.tiles import IGNORE_LABEL
+
+    os.makedirs(output_path, exist_ok=True)
+    paths = []
+    for i, (pred, gt) in enumerate(zip(preds, masks)):
+        h, w = pred.shape[:2]
+        gt = np.asarray(gt)[:h, :w]
+        rgb = np.zeros((h, w, 3), np.uint8)
+        correct = pred == gt
+        rgb[correct] = (60, 170, 60)
+        rgb[~correct] = (200, 50, 50)
+        rgb[gt == IGNORE_LABEL] = (70, 70, 70)
+        p = os.path.join(output_path, f"{prefix}_{i}.png")
+        Image.fromarray(rgb).save(p)
+        paths.append(p)
+    return paths

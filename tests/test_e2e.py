@@ -387,3 +387,56 @@ def test_multiband_training_end_to_end(tmp_path):
 
     stats = _json.load(open(out / "checkpoints" / "stats.json"))
     assert stats["num_input_bands"] == 4
+
+
+def test_operation_info_model_card(tmp_path):
+    """--operation info prints the checkpoint model card without loading
+    any dataset."""
+    from dynseg.cli import run_info
+
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "8",
+        "--keep_best", "--eval_every", "4",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=8)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, eval_every=4))
+    run_training(cfg, log=lambda *_: None, keep_best=True)
+    lines = []
+    info = run_info(cfg, log=lines.append)
+    assert info["net_type"] == "dilated_grsl"
+    assert info["parameters"] > 0 and info["iteration"] == 8
+    assert info["best"] is not None and info["best"]["step"] <= 8
+    assert any("parameters" in l for l in lines)
+
+
+def test_error_maps_written(tmp_path):
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "8",
+        "--error_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=8)
+    run_training(cfg, log=lambda *_: None)
+    from PIL import Image
+
+    p = os.path.join(tmp_path, "errors_0.png")
+    assert os.path.exists(p)
+    rgb = np.asarray(Image.open(p))
+    # only the three semantic colors appear
+    colors = {tuple(c) for c in rgb.reshape(-1, 3)}
+    assert colors <= {(60, 170, 60), (200, 50, 50), (70, 70, 70)}

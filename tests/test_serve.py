@@ -334,3 +334,22 @@ def test_serve_tta_matches_manual_composition(served, rng):
         acc = p_k if acc is None else acc + p_k
     np.testing.assert_allclose(probs, acc / 8.0, atol=1e-6)
     np.testing.assert_array_equal(labels, (acc / 8.0).argmax(-1))
+
+
+def test_request_size_cap(served, rng):
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=8, max_request_mb=1)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        big = np.zeros((700, 700, 3), np.float32)  # ~5.9 MB > 1 MiB cap
+        buf = io.BytesIO(); np.save(buf, big)
+        req = urllib.request.Request(
+            f"{base}/predict?mode=dense", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 413
+    finally:
+        srv.shutdown(); srv.server_close(); th.join(timeout=5)
