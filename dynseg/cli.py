@@ -153,6 +153,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "--operation export (jax.export platforms)")
     p.add_argument("--serve_host", default="127.0.0.1")
     p.add_argument("--serve_port", type=int, default=8400)
+    p.add_argument("--max_request_mb", type=int, default=512,
+                   help="serve: reject request bodies above this (413)")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler device trace here (XProf)")
@@ -221,6 +223,30 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return cfg.validate()
 
 
+def _adopt_checkpoint_model(cfg: Config, stats: dict,
+                            adopt_net_type: bool = False) -> Config:
+    """Rebuild the EXACT model config a checkpoint was trained with from
+    its stats sidecar — the trainer-free restore template must match
+    shapes (width/BN) and semantics (slope/pool/dropout). Old sidecars
+    lack the architecture keys; those fall back to the CLI values."""
+    import dataclasses as dc
+
+    kw = {
+        "num_input_bands": int(stats["num_input_bands"]),
+        "num_classes": int(stats["num_classes"]),
+    }
+    if adopt_net_type and stats.get("net_type"):
+        kw["net_type"] = stats["net_type"]
+    for k in ("width_multiplier", "leaky_slope", "dropout_rate"):
+        if k in stats:
+            kw[k] = float(stats[k])
+    if "pool_window" in stats:
+        kw["pool_window"] = int(stats["pool_window"])
+    if "use_batch_norm" in stats:
+        kw["use_batch_norm"] = bool(stats["use_batch_norm"])
+    return dc.replace(cfg, model=dc.replace(cfg.model, **kw))
+
+
 def _fix_num_input_bands(cfg: Config, train_tiles) -> Config:
     bands = train_tiles.num_bands
     if bands != cfg.model.num_input_bands:
@@ -252,6 +278,13 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         "num_classes": cfg.model.num_classes,
         "net_type": cfg.model.net_type,
         "dataset": cfg.data.dataset,  # palette source for predict
+        # Architecture knobs the trainer-free restore template needs
+        # (shape-affecting: width/BN; behavior-affecting: slope/pool/drop).
+        "width_multiplier": cfg.model.width_multiplier,
+        "use_batch_norm": cfg.model.use_batch_norm,
+        "leaky_slope": cfg.model.leaky_slope,
+        "pool_window": cfg.model.pool_window,
+        "dropout_rate": cfg.model.dropout_rate,
     })
 
     start_iter = 0
@@ -337,11 +370,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         # and uploading training tiles (minutes + GBs on production sets).
         import dataclasses as dc
 
-        cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model,
-            num_input_bands=int(stats["num_input_bands"]),
-            num_classes=int(stats["num_classes"]),
-        ))
+        cfg = _adopt_checkpoint_model(cfg, stats)
         state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
                                          best=use_best)
     else:  # pre-sidecar checkpoint: template via a full Trainer
@@ -403,11 +432,7 @@ def run_predict(cfg: Config, predict_path: str, log=print,
             f"checkpoint was trained with net_type={stats['net_type']!r}; "
             f"pass --net_type {stats['net_type']}"
         )
-    cfg = dc.replace(cfg, model=dc.replace(
-        cfg.model,
-        num_input_bands=int(stats["num_input_bands"]),
-        num_classes=int(stats["num_classes"]),
-    ))
+    cfg = _adopt_checkpoint_model(cfg, stats)
 
     files = list_rasters(predict_path)
     chunk = predict_chunk if predict_chunk > 0 else len(files)
@@ -493,11 +518,7 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
             f"checkpoint was trained with net_type={stats['net_type']!r}; "
             f"pass --net_type {stats['net_type']}"
         )
-    cfg = dc.replace(cfg, model=dc.replace(
-        cfg.model,
-        num_input_bands=int(stats["num_input_bands"]),
-        num_classes=int(stats["num_classes"]),
-    ))
+    cfg = _adopt_checkpoint_model(cfg, stats)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
                                      best=use_best)
@@ -538,7 +559,7 @@ def _save_maps(cfg: Config, scores: dict, test_tiles) -> None:
         )
 
 
-def run_info(cfg: Config, log=print) -> dict:
+def run_info(cfg: Config, log=print, use_best: bool = False) -> dict:
     """Checkpoint model card: architecture, parameter count, training
     provenance, scheduler state, and best-validation record — everything
     an operator needs to know about an output_path without loading data."""
@@ -557,14 +578,10 @@ def run_info(cfg: Config, log=print) -> dict:
         )
     import dataclasses as dc
 
-    cfg = dc.replace(cfg, model=dc.replace(
-        cfg.model,
-        net_type=stats.get("net_type", cfg.model.net_type),
-        num_input_bands=int(stats["num_input_bands"]),
-        num_classes=int(stats["num_classes"]),
-    ))
+    cfg = _adopt_checkpoint_model(cfg, stats, adopt_net_type=True)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
-    state, step = ckpt.restore_state(init_state_template(cfg), scheduler)
+    state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
+                                     best=use_best)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state.params))
     info = {
@@ -580,9 +597,7 @@ def run_info(cfg: Config, log=print) -> dict:
                               for x in np.ravel(stats["std"])],
         "scheduler": scheduler.summary(),
         "best": ckpt.best_record(),
-        "checkpoints": sorted(
-            int(s) for s in ([ckpt.latest_step()] if ckpt.latest_step()
-                             is not None else [])),
+        "checkpoints": sorted(int(s) for s in ckpt.mgr.all_steps()),
         "export": os.path.isdir(
             os.path.join(cfg.train.output_path, "export")),
     }
@@ -650,7 +665,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             run_export(cfg, platforms=platforms, log=logger,
                        use_best=args.use_best)
         elif args.operation == "info":
-            run_info(cfg, log=logger)
+            run_info(cfg, log=logger, use_best=args.use_best)
         elif args.operation == "serve":
             from dynseg.serve import main as serve_main
 
@@ -665,6 +680,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "--host", args.serve_host,
                 "--port", str(args.serve_port),
                 "--window_batch", str(args.window_batch),
+                "--max_request_mb", str(args.max_request_mb),
             ])
         else:  # testing / validate_test
             run_testing(cfg, log=logger,

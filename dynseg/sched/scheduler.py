@@ -123,6 +123,11 @@ class ScaleScheduler:
     def load_state_dict(self, state: dict) -> None:
         self._scores = {int(k): v for k, v in state["scores"].items()}
         self._counts = {int(k): int(v) for k, v in state["counts"].items()}
+        # The restored table IS the training schedule: sync values so
+        # summary()/probabilities()/best_scales() describe the checkpoint
+        # even when the caller's --values differ (e.g. --operation info
+        # with CLI defaults on a checkpoint trained with other scales).
+        self.values = list(self._scores)
         self._cycle = int(state["cycle"])
         self.rng.bit_generator.state = state["rng_state"]
 

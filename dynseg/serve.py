@@ -384,7 +384,10 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                     # it never sees the 413.
                     left = n
                     while left > 0:
-                        left -= len(self.rfile.read(min(left, 1 << 20)))
+                        chunk = self.rfile.read(min(left, 1 << 20))
+                        if not chunk:  # client hung up mid-upload
+                            break
+                        left -= len(chunk)
                     stats.record(mode, time.monotonic() - t0, 0, error=True)
                     return self._json(413, {
                         "error": f"request body {n} bytes exceeds the "

@@ -415,7 +415,20 @@ def test_operation_info_model_card(tmp_path):
     assert info["net_type"] == "dilated_grsl"
     assert info["parameters"] > 0 and info["iteration"] == 8
     assert info["best"] is not None and info["best"]["step"] <= 8
+    assert 8 in info["checkpoints"]
     assert any("parameters" in l for l in lines)
+
+    # the model card must work WITHOUT knowing the training --values
+    # (the scheduler table is restored from the checkpoint) and honor
+    # --use_best
+    args2 = build_argparser().parse_args([
+        "--operation", "info", "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",  # default --values 25,35,...
+    ])
+    info2 = run_info(config_from_args(args2), log=lambda *_: None,
+                     use_best=True)
+    assert "9:" in info2["scheduler"]  # checkpoint's schedule, not CLI's
+    assert info2["iteration"] == info["best"]["step"]
 
 
 def test_error_maps_written(tmp_path):
