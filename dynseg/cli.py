@@ -368,8 +368,11 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
     if stats is not None:
         # Trainer-free restore: skip building the training sampler tables
         # and uploading training tiles (minutes + GBs on production sets).
-        import dataclasses as dc
-
+        if stats.get("net_type") not in (None, cfg.model.net_type):
+            raise ValueError(
+                f"checkpoint was trained with net_type="
+                f"{stats['net_type']!r}; pass --net_type {stats['net_type']}"
+            )
         cfg = _adopt_checkpoint_model(cfg, stats)
         state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
                                          best=use_best)
@@ -409,8 +412,6 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     predict_chunk > 0 processes that many rasters at a time (bounded
     host RAM on arbitrarily large batches); chunk shapes are bucketed to
     512-px multiples so successive chunks reuse compiled programs."""
-    import dataclasses as dc
-
     from dynseg.checkpoint import CheckpointManager
     from dynseg.data.datasets import list_rasters, load_rasters
     from dynseg.infer import Inferencer
@@ -498,8 +499,6 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
     """Export the checkpoint as a standalone serving artifact (StableHLO,
     shape-polymorphic, params + normalization baked — dynseg/export.py).
     Trainer-free: only the checkpoint dir is needed, like run_predict."""
-    import dataclasses as dc
-
     from dynseg.checkpoint import CheckpointManager
     from dynseg.export import export_predictor
     from dynseg.sched.scheduler import ScaleScheduler
@@ -576,8 +575,6 @@ def run_info(cfg: Config, log=print, use_best: bool = False) -> dict:
             f"no stats.json under {ckpt.dir} — not a dynseg output dir "
             f"(or a pre-sidecar checkpoint)"
         )
-    import dataclasses as dc
-
     cfg = _adopt_checkpoint_model(cfg, stats, adopt_net_type=True)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     state, step = ckpt.restore_state(init_state_template(cfg), scheduler,

@@ -453,3 +453,26 @@ def test_error_maps_written(tmp_path):
     # only the three semantic colors appear
     colors = {tuple(c) for c in rgb.reshape(-1, 3)}
     assert colors <= {(60, 170, 60), (200, 50, 50), (70, 70, 70)}
+
+
+def test_testing_net_type_mismatch_is_friendly(tmp_path):
+    """A wrong --net_type at validate_test must produce an actionable
+    error, not an orbax shape mismatch."""
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "4",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=4)
+    run_training(cfg, log=lambda *_: None)
+    wrong = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       net_type="dilated_icpr_rate6"))
+    with pytest.raises(ValueError, match="pass --net_type dilated_grsl"):
+        run_testing(wrong, log=lambda *_: None)
