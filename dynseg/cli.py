@@ -200,6 +200,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             stride_fraction=args.stride_fraction,
             window_batch=args.window_batch,
             scales=tuple(test_scales),
+            scales_explicit=bool(args.test_scales),
             save_prediction_maps=not args.no_prediction_maps,
             save_error_maps=args.error_maps,
             mode=args.inference_mode,
@@ -290,6 +291,16 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     start_iter = 0
     if cfg.train.resume and ckpt.latest_step() is not None:
         state, start_iter = ckpt.restore(trainer, scheduler)
+        if set(scheduler.values) != set(int(v) for v in cfg.sched.values):
+            # The samplers/buckets are built from --values; a checkpoint
+            # trained at other scales cannot be silently adopted (ADVICE
+            # r1: changed --values on resume were silently discarded).
+            raise ValueError(
+                f"--resume: checkpoint was trained with --values "
+                f"{sorted(scheduler.values)} but the CLI requests "
+                f"{sorted(cfg.sched.values)}; resume with the original "
+                f"--values or train fresh in a new --output_path"
+            )
         log(f"resumed from iteration {start_iter}")
     else:
         state = trainer.init_state(jax.random.key(cfg.train.seed))
@@ -351,6 +362,28 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     return scores
 
 
+def _reconcile_scales(cfg: Config, scheduler, log) -> Config:
+    """A restored scheduler carries the checkpoint's OWN trained scales;
+    the CLI may derive different inference scales from a stale --values.
+    Voting at untrained scales is silently wrong — default to the
+    checkpoint's scales unless --test_scales was explicit (VERDICT r1 #7)."""
+    ckpt_scales = sorted(int(v) for v in scheduler.values)
+    if set(ckpt_scales) == set(int(s) for s in cfg.infer.scales):
+        return cfg
+    if cfg.infer.scales_explicit:
+        log(f"WARNING: explicit --test_scales {sorted(cfg.infer.scales)} "
+            f"differ from the checkpoint's trained scales {ckpt_scales}; "
+            f"honoring --test_scales — windows at untrained scales vote "
+            f"with untrained statistics")
+        return cfg
+    log(f"WARNING: CLI-derived inference scales {sorted(cfg.infer.scales)} "
+        f"differ from the checkpoint's trained scales {ckpt_scales}; using "
+        f"the checkpoint's scales (pass --test_scales to override)")
+    return dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, scales=tuple(ckpt_scales))
+    )
+
+
 def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
                 use_best: bool = False) -> dict:
     from dynseg.checkpoint import CheckpointManager
@@ -381,6 +414,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         trainer = Trainer(cfg, train_tiles)
         state, step = ckpt.restore(trainer, scheduler, best=use_best)
     log(f"restored {'best ' if use_best else ''}checkpoint at iteration {step}")
+    cfg = _reconcile_scales(cfg, scheduler, log)
     scales = None
     if scales_from_scheduler > 0:
         # Paper semantics: the trained distribution identifies the best
@@ -443,6 +477,7 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
                                      best=use_best)
     log(f"restored {'best ' if use_best else ''}checkpoint at iteration {step}")
+    cfg = _reconcile_scales(cfg, scheduler, log)
     scales = None
     if scales_from_scheduler > 0:
         scales = scheduler.best_scales(scales_from_scheduler)

@@ -127,6 +127,10 @@ class InferConfig:
     window_batch: int = 256
     # Scales fused at test time; default: the training schedule's values.
     scales: Sequence[int] = DEFAULT_SCALES
+    # True when --test_scales was passed explicitly (vs derived from
+    # --values): an explicit list is honored even when a restored
+    # checkpoint was trained at different scales (warned, not silent).
+    scales_explicit: bool = False
     save_prediction_maps: bool = True
     # Per-tile green/red correctness PNGs for error analysis (beyond ref).
     save_error_maps: bool = False

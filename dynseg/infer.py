@@ -307,11 +307,13 @@ class Inferencer:
         halo must be >= the network's receptive-field radius for exactness
         (~34 px for rate6, ~37 for grsl_rate8; default 40) and <= the tile
         mirror pad. With tta (default cfg.infer.tta) the prob map is the
-        8-way dihedral fusion (uses cfg dense_block/dense_halo)."""
+        8-way dihedral fusion at the same block/halo."""
         assert halo <= self.pad, (halo, self.pad)
         tta = self.cfg.infer.tta if tta is None else tta
         if tta:
-            pred, prob = self._tta_device(variables, tile_idx, mode="dense")
+            pred, prob = self._tta_device(
+                variables, tile_idx, mode="dense", block=block, halo=halo
+            )
             return self._finish(pred, prob, None, return_probs=return_probs)
         return self._finish(
             *self._dense_device(variables, tile_idx, block, halo),
@@ -407,7 +409,9 @@ class Inferencer:
 
     def _tta_device(self, variables, tile_idx: int,
                     scales: Optional[Sequence[int]] = None,
-                    mode: Optional[str] = None):
+                    mode: Optional[str] = None,
+                    block: Optional[int] = None,
+                    halo: Optional[int] = None):
         """Test-time dihedral augmentation: predict each of the 8
         rotations/flips, inverse-transform the softmax maps, average,
         argmax — all on device. Returns (pred u8, fused prob) DEVICE
@@ -428,8 +432,9 @@ class Inferencer:
             hk, wk = (w, h) if k % 4 in (1, 3) else (h, w)
             if mode == "dense":
                 _, valid_k, _ = self._dense_device(
-                    variables, tile_idx, block=self.cfg.infer.dense_block,
-                    halo=self.cfg.infer.dense_halo,
+                    variables, tile_idx,
+                    block=self.cfg.infer.dense_block if block is None else block,
+                    halo=self.cfg.infer.dense_halo if halo is None else halo,
                     override=(tile_k, hk, wk),
                 )
                 prob_k = valid_k

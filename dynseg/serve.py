@@ -37,6 +37,7 @@ import io
 import json
 import threading
 import time
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -296,11 +297,18 @@ class ServerStats:
 
 
 def _decode_body(body: bytes, content_type: str) -> np.ndarray:
-    if content_type.startswith("application/x-npy") or body[:6] == b"\x93NUMPY":
-        return np.load(io.BytesIO(body), allow_pickle=False)
-    from PIL import Image
+    """Decode a request body. Undecodable input is the CLIENT's fault —
+    normalize decoder exceptions to ValueError so the handler maps them
+    to HTTP 400 (server faults get 500)."""
+    try:
+        if (content_type.startswith("application/x-npy")
+                or body[:6] == b"\x93NUMPY"):
+            return np.load(io.BytesIO(body), allow_pickle=False)
+        from PIL import Image
 
-    return np.asarray(Image.open(io.BytesIO(body)))
+        return np.asarray(Image.open(io.BytesIO(body)))
+    except (ValueError, OSError, EOFError) as e:
+        raise ValueError(f"undecodable request body: {e}") from e
 
 
 def _encode_png(labels: np.ndarray, dataset: Optional[str]) -> bytes:
@@ -375,6 +383,10 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 q = parse_qs(url.query)
                 mode = q.get("mode", ["window"])[0]
                 output = q.get("output", ["labels"])[0]
+                if output not in ("labels", "probs", "png"):
+                    return self._json(400, {
+                        "error": f"unknown output {output!r}; "
+                                 "accepted: labels, probs, png"})
                 scales = ([int(s) for s in q["scales"][0].split(",")]
                           if "scales" in q else None)
                 n = int(self.headers.get("Content-Length", 0))
@@ -406,9 +418,14 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                     buf = io.BytesIO()
                     np.save(buf, probs if output == "probs" else labels)
                     body, ctype = buf.getvalue(), "application/x-npy"
-            except Exception as e:  # noqa: BLE001 — report to client
+            except (ValueError, KeyError) as e:
+                # Malformed request (bad query values, undecodable body).
                 stats.record(mode, time.monotonic() - t0, 0, error=True)
                 return self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — genuine server fault
+                stats.record(mode, time.monotonic() - t0, 0, error=True)
+                traceback.print_exc()
+                return self._json(500, {"error": str(e)})
             stats.record(mode, time.monotonic() - t0, px)
             self._send(200, body, ctype)
 

@@ -105,3 +105,56 @@ def test_config_validation_messages(flags, match):
     asserts would vanish under python -O)."""
     with pytest.raises(ValueError, match=match):
         _cfg(flags)
+
+
+def test_test_scales_explicit_flag():
+    assert not _cfg([]).infer.scales_explicit
+    assert _cfg(["--test_scales", "35,55"]).infer.scales_explicit
+
+
+def _restored_scheduler(cfg_values, ckpt_values):
+    """Scheduler built from CLI values, then restored from a checkpoint
+    trained at ckpt_values (load_state_dict adopts the checkpoint's)."""
+    from dynseg.config import SchedulerConfig
+    from dynseg.sched.scheduler import ScaleScheduler
+
+    donor = ScaleScheduler(SchedulerConfig(values=tuple(ckpt_values)), seed=0)
+    for v in ckpt_values:
+        donor.update(v, loss=1.0, acc=0.5)
+    sch = ScaleScheduler(SchedulerConfig(values=tuple(cfg_values)), seed=0)
+    sch.load_state_dict(donor.state_dict())
+    return sch
+
+
+def test_reconcile_scales_adopts_checkpoint_when_implicit():
+    """VERDICT r1 #7: stale default --values + checkpoint trained at other
+    scales must not silently vote at untrained scales."""
+    from dynseg.cli import _reconcile_scales
+
+    cfg = _cfg([])  # default scales 25,35,45,55,65, not explicit
+    sch = _restored_scheduler(cfg.sched.values, [9, 13])
+    msgs = []
+    out = _reconcile_scales(cfg, sch, msgs.append)
+    assert tuple(out.infer.scales) == (9, 13)
+    assert any("WARNING" in m for m in msgs)
+
+
+def test_reconcile_scales_honors_explicit_test_scales():
+    from dynseg.cli import _reconcile_scales
+
+    cfg = _cfg(["--test_scales", "25,45"])
+    sch = _restored_scheduler(cfg.sched.values, [9, 13])
+    msgs = []
+    out = _reconcile_scales(cfg, sch, msgs.append)
+    assert tuple(out.infer.scales) == (25, 45)  # explicit wins
+    assert any("WARNING" in m for m in msgs)
+
+
+def test_reconcile_scales_silent_on_match():
+    from dynseg.cli import _reconcile_scales
+
+    cfg = _cfg(["--values", "9,13"])
+    sch = _restored_scheduler((9, 13), [9, 13])
+    msgs = []
+    out = _reconcile_scales(cfg, sch, msgs.append)
+    assert tuple(out.infer.scales) == (9, 13) and not msgs

@@ -476,3 +476,33 @@ def test_testing_net_type_mismatch_is_friendly(tmp_path):
                                        net_type="dilated_icpr_rate6"))
     with pytest.raises(ValueError, match="pass --net_type dilated_grsl"):
         run_testing(wrong, log=lambda *_: None)
+
+
+def test_resume_with_changed_values_rejected(tmp_path):
+    """ADVICE r1: --resume with a different --values set must error (the
+    checkpoint's scheduler table would be silently discarded and the
+    CLI-built sampler tables can miss the checkpoint's scales)."""
+    flags = [
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--window_batch", "32",
+        "--no_prediction_maps",
+    ]
+    args = build_argparser().parse_args(flags + ["--values", "9"])
+    cfg = _shrink(config_from_args(args), niter=4)
+    run_training(cfg, log=lambda *_: None)
+
+    args2 = build_argparser().parse_args(
+        flags + ["--values", "13", "--resume"])
+    cfg2 = _shrink(config_from_args(args2), niter=8)
+    with pytest.raises(ValueError, match="original --values"):
+        run_training(cfg2, log=lambda *_: None)
+
+    # same values resume still works
+    args3 = build_argparser().parse_args(
+        flags + ["--values", "9", "--resume"])
+    cfg3 = _shrink(config_from_args(args3), niter=8)
+    run_training(cfg3, log=lambda *_: None)

@@ -472,3 +472,25 @@ def test_tta_multi_device_matches_single(rng):
     p8, pr8 = multi.predict_tile(variables, 0, tta=True)
     np.testing.assert_array_equal(p1, p8)
     np.testing.assert_allclose(pr1, pr8, atol=1e-5)
+
+
+def test_tta_dense_honors_explicit_block_halo(rng, monkeypatch):
+    """ADVICE r1: predict_tile_dense(block=, halo=, tta=True) must thread
+    the explicit block/halo into every TTA pass instead of silently
+    substituting cfg.infer.dense_block/dense_halo."""
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    ts = _tileset(rng, h=24, w=24)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    inf = Inferencer(cfg, ts)
+
+    seen = []
+    orig = Inferencer._dense_device
+
+    def spy(self, variables, tile_idx, block, halo, override=None):
+        seen.append((block, halo))
+        return orig(self, variables, tile_idx, block, halo, override=override)
+
+    monkeypatch.setattr(Inferencer, "_dense_device", spy)
+    inf.predict_tile_dense(variables, 0, block=20, halo=24, tta=True)
+    assert seen and all(bh == (20, 24) for bh in seen)

@@ -353,3 +353,46 @@ def test_request_size_cap(served, rng):
         assert ei.value.code == 413
     finally:
         srv.shutdown(); srv.server_close(); th.join(timeout=5)
+
+
+def test_error_status_codes(served, rng):
+    """ADVICE r1: malformed requests get 400 (with accepted options for a
+    bad output=), while genuine server-side faults surface as 500 — not
+    as client errors."""
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=8)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    img = rng.uniform(0, 255, size=(16, 16, 3)).astype(np.float32)
+    buf = io.BytesIO(); np.save(buf, img)
+
+    def post(query):
+        req = urllib.request.Request(
+            f"{base}/predict?{query}", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"}, method="POST")
+        return urllib.request.urlopen(req)
+
+    try:
+        # typo'd output => 400 listing the accepted values
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("mode=dense&output=prob")
+        assert ei.value.code == 400
+        assert "probs" in json.loads(ei.value.read())["error"]
+
+        # engine fault => 500 (previously masked as 400)
+        orig = srv.engine.predict
+        srv.engine.predict = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("artifact exploded"))
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("mode=dense")
+            assert ei.value.code == 500
+            assert "artifact exploded" in json.loads(ei.value.read())["error"]
+        finally:
+            srv.engine.predict = orig
+        # server still healthy after the fault
+        r = post("mode=dense")
+        assert r.status == 200
+    finally:
+        srv.shutdown(); srv.server_close(); th.join(timeout=5)
