@@ -85,6 +85,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--update_type", default="acc", choices=cfgmod.UPDATE_TYPES,
                    help="scheduler score source: batch acc or loss")
     p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--val_tiles", default="",
+                   help="ISPRS named validation split: comma-separated tile "
+                        "ids (Vaihingen areas '11,15,28,30,34'; Potsdam "
+                        "'2_12,3_12'). Empty = published default split")
+    p.add_argument("--bands", default="", choices=["", "rgb", "irrg", "rgbir"],
+                   help="Potsdam image source directory (default rgb); "
+                        "Vaihingen top tiles are inherently IRRG")
+    p.add_argument("--extra_bands", default="",
+                   help="extra channels appended to the imagery: 'dsm', "
+                        "'ndsm' or 'dsm,ndsm' (ISPRS height data)")
     # --- new-framework knobs ---
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--eval_every", type=int, default=500)
@@ -219,9 +229,30 @@ def config_from_args(args: argparse.Namespace) -> Config:
             balanced_sampling=not args.no_balanced_sampling,
             max_positions_per_class=args.max_positions_per_class,
             augment=not args.no_augment,
+            val_tiles=args.val_tiles,
+            bands=args.bands,
+            extra_bands=args.extra_bands,
         ),
     )
     return cfg.validate()
+
+
+def _loader_kwargs(cfg: Config) -> dict:
+    """Dataset-specific loader arguments from the config (ISPRS named
+    split / band selection / height channels — SURVEY.md C2c/C2d)."""
+    if cfg.data.dataset.startswith("synthetic"):
+        return {"seed": cfg.train.seed}
+    kw = {}
+    if cfg.data.dataset in ("vaihingen", "potsdam"):
+        if cfg.data.val_tiles:
+            kw["val_tiles"] = tuple(
+                t.strip() for t in cfg.data.val_tiles.split(",") if t.strip())
+        if cfg.data.bands:
+            kw["bands"] = cfg.data.bands
+        if cfg.data.extra_bands:
+            kw["extra_bands"] = tuple(
+                b.strip() for b in cfg.data.extra_bands.split(",") if b.strip())
+    return kw
 
 
 def _adopt_checkpoint_model(cfg: Config, stats: dict,
@@ -265,7 +296,7 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
 
     train_tiles, test_tiles = load_dataset(
         cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
-        **({"seed": cfg.train.seed} if cfg.data.dataset.startswith("synthetic") else {}),
+        **_loader_kwargs(cfg),
     )
     cfg = _fix_num_input_bands(cfg, train_tiles)
     os.makedirs(cfg.train.output_path, exist_ok=True)
@@ -393,7 +424,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
 
     train_tiles, test_tiles = load_dataset(
         cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
-        **({"seed": cfg.train.seed} if cfg.data.dataset.startswith("synthetic") else {}),
+        **_loader_kwargs(cfg),
     )
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     ckpt = CheckpointManager(cfg.train.output_path)

@@ -25,7 +25,8 @@ NET_TYPES = (
     "dilated_grsl_rate8",
     "dilated_icpr_original",
 )
-DATASETS = ("coffee", "grss_dfc_2014", "vaihingen", "potsdam", "synthetic", "synthetic_multi")
+DATASETS = ("coffee", "grss_dfc_2014", "vaihingen", "potsdam", "synthetic",
+            "synthetic_multi", "synthetic_texture")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,6 +176,16 @@ class DataConfig:
     # Random 90-degree rotations + flips (the 8-element dihedral group),
     # applied identically to image and label patches (SURVEY.md C5).
     augment: bool = True
+    # ISPRS published protocol (SURVEY.md C2c/C2d): comma-separated
+    # validation tile ids (Vaihingen area numbers e.g. "11,15,28,30,34";
+    # Potsdam grid ids e.g. "2_12,3_12"). Empty = the dataset's default
+    # named split (datasets.VAIHINGEN_VAL_TILES / POTSDAM_VAL_TILES).
+    val_tiles: str = ""
+    # Potsdam image source: "rgb" | "irrg" | "rgbir" (Vaihingen top tiles
+    # are inherently IRRG). Empty = dataset default ("rgb" for Potsdam).
+    bands: str = ""
+    # Extra channels appended to the imagery: "dsm", "ndsm" or both.
+    extra_bands: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,6 +48,10 @@ NUM_CLASSES = {
     # 6-class, 4-band synthetic — exercises the Vaihingen/Potsdam code
     # paths (multi-class balancing, palettes, F1 averaging) without data.
     "synthetic_multi": 6,
+    # Context-sensitive texture-period benchmark: classes share identical
+    # first-order statistics, separable only via spatial context (see
+    # load_synthetic_texture) — the scheduler-ablation testbed.
+    "synthetic_texture": 4,
 }
 PALETTES = {
     "coffee": COFFEE_PALETTE,
@@ -56,6 +60,7 @@ PALETTES = {
     "potsdam": ISPRS_PALETTE,
     "synthetic": COFFEE_PALETTE,
     "synthetic_multi": ISPRS_PALETTE,
+    "synthetic_texture": GRSS_PALETTE[:4],
 }
 
 
@@ -126,6 +131,86 @@ def load_synthetic(
 
     train = make(num_tiles)
     test = make(max(1, num_tiles // 2))
+    compute_stats(train)
+    test.mean, test.std = train.mean, train.std
+    return train, test
+
+
+def load_synthetic_texture(
+    seed: int = 0,
+    num_tiles: int = 4,
+    size: int = 256,
+    num_bands: int = 3,
+    cells: Tuple[int, ...] = (2, 4, 24, 48),
+    class_probs: Tuple[float, ...] = (0.1, 0.2, 0.4, 0.3),
+    region_px: int = 96,
+    amp: float = 40.0,
+    noise: float = 22.0,
+    label_noise: float = 0.05,
+) -> Tuple[TileSet, TileSet]:
+    """Context-SENSITIVE synthetic benchmark (round-1 verdict: the color
+    benchmark is solvable by a 1x1 conv, so nothing scale-related can move
+    its metric). Here every class is a binary checkerboard over the SAME
+    two gray values (identical per-class channel mean AND variance — zero
+    first-order signal); class identity is the texture PERIOD:
+
+      * fine pair   (cells[0], cells[1], e.g. 2 vs 4 px): separable at any
+        patch size — gives small scales real signal.
+      * coarse pair (cells[2], cells[3], e.g. P=24 vs 2P=48 px): a window
+        smaller than ~P usually sits INSIDE a flat cell (both classes look
+        identical), and a window with a single cell edge cannot tell P
+        from 2P — reliable separation needs context >= ~2P. Per-pixel
+        accuracy on these classes grows with patch size up to ~2P.
+
+    Class regions are a random Voronoi partition (per-region random grid
+    phase so absolute alignment carries no information), with imbalanced
+    priors, Gaussian pixel noise, and optional train-label corruption —
+    calibrated so short training runs land in the 0.7–0.95 OA band where
+    scheduler/semantic choices can actually move the metric.
+
+    Returns (train_tiles, test_tiles); only TRAIN masks get label noise —
+    evaluation stays against clean ground truth.
+    """
+    rng = np.random.default_rng(seed)
+    nc = len(cells)
+    probs = np.asarray(class_probs, np.float64)
+    probs = probs / probs.sum()
+    yy, xx = np.mgrid[0:size, 0:size]
+
+    def make(n: int, corrupt: bool) -> TileSet:
+        ims: List[np.ndarray] = []
+        mks: List[np.ndarray] = []
+        for _ in range(n):
+            n_reg = max(nc, int(round((size / region_px) ** 2 * 2)))
+            pts = rng.uniform(0, size, size=(n_reg, 2))
+            reg_cls = rng.choice(nc, size=n_reg, p=probs)
+            reg_cls[:nc] = np.arange(nc)  # every class present per tile
+            d2 = ((yy[..., None] - pts[:, 0]) ** 2
+                  + (xx[..., None] - pts[:, 1]) ** 2)
+            region = np.argmin(d2, axis=-1)
+            mask = reg_cls[region].astype(np.int32)
+            phase = rng.integers(0, 1 << 30, size=(n_reg, 2))
+            im = np.empty((size, size, num_bands), np.float32)
+            for c, cell in enumerate(cells):
+                ox = phase[region, 0] % cell
+                oy = phase[region, 1] % cell
+                checker = ((yy + oy) // cell + (xx + ox) // cell) % 2
+                vals = 128.0 + amp * (2.0 * checker.astype(np.float32) - 1.0)
+                sel = mask == c
+                im[sel] = vals[sel, None]
+            im += rng.normal(scale=noise, size=im.shape)
+            im = np.clip(im, 0.0, 255.0).astype(np.float32)
+            if corrupt and label_noise > 0:
+                flip = rng.random(mask.shape) < label_noise
+                other = rng.integers(0, nc - 1, size=mask.shape)
+                other = np.where(other >= mask, other + 1, other)
+                mask = np.where(flip, other.astype(np.int32), mask)
+            ims.append(im)
+            mks.append(mask)
+        return pack_tiles(ims, mks)
+
+    train = make(num_tiles, corrupt=True)
+    test = make(max(1, num_tiles // 2), corrupt=False)
     compute_stats(train)
     test.mean, test.std = train.mean, train.std
     return train, test
@@ -213,53 +298,173 @@ def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
     return train, test
 
 
-def _load_isprs(path: str, image_dir: str, gt_dir: str, split_frac: float = 0.75
-                ) -> Tuple[TileSet, TileSet]:
+# Published ISPRS validation splits (SURVEY.md C2c/C2d, round-1 verdict
+# Missing #2). Vaihingen: the community-standard 11-train / 5-validation
+# named-area split (Sherrah 2016 and followers, incl. the reference's
+# TGRS'19 protocol) over the 16 areas with public ground truth.
+VAIHINGEN_VAL_TILES = ("11", "15", "28", "30", "34")
+# Potsdam: 24 tiles ship public ground truth; there is no single
+# canonical validation list in the literature (LOW confidence default —
+# one column held out so every row is represented). Override with
+# --val_tiles the moment the reference's own split is known.
+POTSDAM_VAL_TILES = ("2_12", "3_12", "4_12", "5_12", "6_12", "7_12")
+
+# Potsdam image source directories by band selection.
+_POTSDAM_BAND_DIRS = {
+    "rgb": ("2_Ortho_RGB", "_RGB"),
+    "irrg": ("3_Ortho_IRRG", "_IRRG"),
+    "rgbir": ("4_Ortho_RGBIR", "_RGBIR"),
+}
+
+
+def _vaihingen_area(fname: str):
+    """'top_mosaic_09cm_area11.tif' -> '11' (None if unparseable)."""
+    import re
+
+    m = re.search(r"area(\d+)", os.path.basename(fname))
+    return m.group(1) if m else None
+
+
+def _potsdam_grid(fname: str):
+    """'top_potsdam_2_10_RGBIR.tif' / 'dsm_potsdam_02_10.tif' -> '2_10'."""
+    import re
+
+    m = re.search(r"potsdam_0?(\d+)_0?(\d+)", os.path.basename(fname))
+    return f"{int(m.group(1))}_{int(m.group(2))}" if m else None
+
+
+def _find_height_raster(path: str, kind: str, tile_id: str, dataset: str):
+    """Locate the DSM/NDSM raster for one tile. The distributed height
+    data uses looser naming than the orthos (zero-padded Potsdam ids,
+    '_normalized_lastools.jpg' nDSMs, case-varying dirs) — match by tile
+    id inside any plausible directory."""
+    if dataset == "vaihingen":
+        dirs = {"dsm": ("dsm",), "ndsm": ("ndsm", "nDSM", "nDSM_09cm")}[kind]
+        pats = [f"*area{tile_id}.*", f"*area{tile_id}_*"]
+    else:
+        x, y = tile_id.split("_")
+        dirs = {"dsm": ("1_DSM",), "ndsm": ("1_DSM_normalisation", "ndsm")}[kind]
+        pats = [f"*potsdam_{int(x):02d}_{int(y):02d}*",
+                f"*potsdam_{x}_{y}*" if (x, y) != (f"{int(x):02d}", f"{int(y):02d}") else None]
+    for d in dirs:
+        for pat in pats:
+            if pat is None:
+                continue
+            hits = sorted(glob.glob(os.path.join(path, d, pat)))
+            if hits:
+                return hits[0]
+    return None
+
+
+def _read_height(f: str) -> np.ndarray:
+    arr = np.load(f) if f.lower().endswith(".npy") else _read_image(f)
+    if arr.ndim == 3:  # some nDSM distributions are 3-identical-channel jpgs
+        arr = arr[..., 0]
+    return arr.astype(np.float32)
+
+
+def _load_isprs(path: str, dataset: str, image_dir: str, suffix: str,
+                gt_dir: str, tile_id_fn, default_val: Tuple[str, ...],
+                val_tiles: Tuple[str, ...] = (),
+                extra_bands: Tuple[str, ...] = ()) -> Tuple[TileSet, TileSet]:
+    """Shared ISPRS loader: pair image tiles with ground truth, attach
+    optional height channels, and split train/validation by NAMED tile
+    ids (the published protocol) — not by sorted order."""
     imgs = sorted(glob.glob(os.path.join(path, image_dir, "*.tif")))
     if not imgs:
         raise FileNotFoundError(f"no tiles under {os.path.join(path, image_dir)}")
-    pairs = []
+    pairs = []  # (tile_id, image_path, gt_path)
     for f in imgs:
         base = os.path.basename(f)
-        # Vaihingen GT shares the image filename; Potsdam images are
-        # top_potsdam_X_Y_RGB.tif with GT top_potsdam_X_Y_label.tif.
-        candidates = [base, base.replace("_RGB", "_label"),
-                      base.replace("RGB", "label")]
+        candidates = [base] + ([base.replace(suffix, "_label")] if suffix else [])
         gt = next(
             (p for c in candidates
              if os.path.exists(p := os.path.join(path, gt_dir, c))), None)
         if gt is not None:
-            pairs.append((f, gt))
-    # Threaded decode (see load_unlabeled): ISPRS tiles are ~100 Mpx TIFFs.
-    ims = list(_decode_pool().map(
-        lambda p: _read_image(p[0]).astype(np.float32), pairs))
-    mks = list(_decode_pool().map(
-        lambda p: _isprs_rgb_to_classes(_read_image(p[1])), pairs))
-    if not ims:
+            pairs.append((tile_id_fn(f), f, gt))
+    if not pairs:
         raise FileNotFoundError(
             f"{len(imgs)} image tiles under {os.path.join(path, image_dir)} "
             f"but none paired with ground truth in "
             f"{os.path.join(path, gt_dir)} (tried exact filename and the "
-            f"RGB->label substitution, e.g. {os.path.basename(imgs[0])})"
+            f"{suffix or '<suffix>'}->_label substitution, e.g. "
+            f"{os.path.basename(imgs[0])})"
         )
-    n_train = max(1, int(len(ims) * split_frac))
-    train = pack_tiles(ims[:n_train], mks[:n_train])
-    test = pack_tiles(ims[n_train:] or ims[-1:], mks[n_train:] or mks[-1:])
+
+    def load_pair(p):
+        tile_id, f, gt = p
+        im = _read_image(f).astype(np.float32)
+        for kind in extra_bands:
+            hf = _find_height_raster(path, kind, tile_id, dataset)
+            if hf is None:
+                raise FileNotFoundError(
+                    f"--extra_bands {kind}: no height raster found for tile "
+                    f"{tile_id} under {path!r}")
+            h = _read_height(hf)
+            if h.shape != im.shape[:2]:
+                raise ValueError(
+                    f"{kind} raster {hf} shape {h.shape} does not match "
+                    f"tile {tile_id} {im.shape[:2]}")
+            im = np.concatenate([im, h[..., None]], axis=-1)
+        return im, _isprs_rgb_to_classes(_read_image(gt))
+
+    # Threaded decode (see load_unlabeled): ISPRS tiles are ~100 Mpx TIFFs.
+    loaded = list(_decode_pool().map(load_pair, pairs))
+    ids = [p[0] for p in pairs]
+    if all(i is None for i in ids):
+        # Filenames carry no recognizable tile ids (non-standard dumps):
+        # fall back to a sorted 75/25 split rather than failing.
+        n_train = max(1, int(len(loaded) * 0.75))
+        tr_idx = list(range(n_train))
+        te_idx = list(range(n_train, len(loaded))) or [len(loaded) - 1]
+    else:
+        val = tuple(val_tiles) or default_val
+        te_idx = [i for i, tid in enumerate(ids) if tid in val]
+        tr_idx = [i for i, tid in enumerate(ids) if tid not in val]
+        if not te_idx:
+            raise FileNotFoundError(
+                f"validation tiles {sorted(val)} not found among available "
+                f"tiles {sorted(t for t in ids if t)}; pass --val_tiles with "
+                f"ids from the available list")
+        if not tr_idx:
+            raise FileNotFoundError(
+                f"--val_tiles {sorted(val)} holds out every available tile "
+                f"— nothing left to train on")
+    train = pack_tiles([loaded[i][0] for i in tr_idx],
+                       [loaded[i][1] for i in tr_idx])
+    test = pack_tiles([loaded[i][0] for i in te_idx],
+                      [loaded[i][1] for i in te_idx])
     compute_stats(train)
     test.mean, test.std = train.mean, train.std
     return train, test
 
 
-def load_vaihingen(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
-    """ISPRS Vaihingen: IRRG 9cm tiles, 6 classes (SURVEY.md C2c)."""
+def load_vaihingen(path: str, fold: int = 0,
+                   val_tiles: Tuple[str, ...] = (), bands: str = "",
+                   extra_bands: Tuple[str, ...] = ()) -> Tuple[TileSet, TileSet]:
+    """ISPRS Vaihingen: IRRG 9cm tiles (top/top_mosaic_09cm_areaN.tif —
+    the distributed tiles ARE IRRG; there is no band choice), 6 classes,
+    published named train/validation split (SURVEY.md C2c)."""
     del fold
-    return _load_isprs(path, "top", "gts_for_participants")
+    if bands and bands != "irrg":
+        raise ValueError(
+            f"--bands {bands!r}: Vaihingen ships IRRG top tiles only")
+    return _load_isprs(path, "vaihingen", "top", "", "gts_for_participants",
+                       _vaihingen_area, VAIHINGEN_VAL_TILES,
+                       val_tiles=val_tiles, extra_bands=extra_bands)
 
 
-def load_potsdam(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
-    """ISPRS Potsdam: 5cm tiles, 6 classes (SURVEY.md C2d)."""
+def load_potsdam(path: str, fold: int = 0,
+                 val_tiles: Tuple[str, ...] = (), bands: str = "rgb",
+                 extra_bands: Tuple[str, ...] = ()) -> Tuple[TileSet, TileSet]:
+    """ISPRS Potsdam: 5cm tiles, 6 classes; --bands selects the image
+    source (rgb | irrg | rgbir), named validation split (SURVEY.md C2d)."""
     del fold
-    return _load_isprs(path, "2_Ortho_RGB", "5_Labels_for_participants")
+    image_dir, suffix = _POTSDAM_BAND_DIRS[bands or "rgb"]
+    return _load_isprs(path, "potsdam", image_dir, suffix,
+                       "5_Labels_for_participants", _potsdam_grid,
+                       POTSDAM_VAL_TILES, val_tiles=val_tiles,
+                       extra_bands=extra_bands)
 
 
 def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
@@ -345,14 +550,18 @@ LOADERS = {
 }
 
 
-def load_dataset(name: str, path: str = "", fold: int = 0, **synth_kwargs
+def load_dataset(name: str, path: str = "", fold: int = 0, **kwargs
                  ) -> Tuple[TileSet, TileSet]:
     """Dispatch mirroring the reference's per-dataset branches
-    ([R] dynamic.py:≈load_images; SURVEY.md C2)."""
+    ([R] dynamic.py:≈load_images; SURVEY.md C2). kwargs are loader-
+    specific: synthetic generators take their generation knobs; the
+    ISPRS loaders take val_tiles/bands/extra_bands (published protocol)."""
     if name == "synthetic":
-        return load_synthetic(**synth_kwargs)
+        return load_synthetic(**kwargs)
     if name == "synthetic_multi":
-        synth_kwargs.setdefault("num_classes", 6)
-        synth_kwargs.setdefault("num_bands", 4)
-        return load_synthetic(**synth_kwargs)
-    return LOADERS[name](path, fold)
+        kwargs.setdefault("num_classes", 6)
+        kwargs.setdefault("num_bands", 4)
+        return load_synthetic(**kwargs)
+    if name == "synthetic_texture":
+        return load_synthetic_texture(**kwargs)
+    return LOADERS[name](path, fold, **kwargs)

@@ -171,6 +171,15 @@ class Trainer:
                     [masks_np,
                      np.full((t_pad,) + masks_np.shape[1:], 255, np.uint8)]
                 )
+                # Interleave so the dummies SPREAD across device shards:
+                # appended-in-place they would fill whole trailing shards
+                # (device n-1 gets only IGNORE tiles -> unusable). Device
+                # d's contiguous block becomes tiles {d, d+n, d+2n, ...}.
+                total = images_np.shape[0]
+                order = np.concatenate(
+                    [np.arange(d, total, n_dev) for d in range(n_dev)])
+                images_np = images_np[order]
+                masks_np = masks_np[order]
             tpd = images_np.shape[0] // n_dev  # tiles per device
             self.tiles_per_device = tpd
             import dataclasses as _dc

@@ -1,0 +1,162 @@
+"""Scheduler ablation on the context-sensitive texture benchmark.
+
+Round-1 verdict: the dynamic-scale scheduler (SURVEY.md C12, "THE core
+novelty") was implemented and unit-tested but never SHOWN to do anything
+— the color-synthetic benchmark saturates regardless of context. This
+driver runs every distribution_type (plus single_fixed at EACH scale) on
+`synthetic_texture`, where per-pixel accuracy on the coarse texture pair
+genuinely depends on spatial context, and reports test OA/meanF1 per
+configuration over N seeds — the committed evidence that score-driven
+context selection earns its keep (or doesn't).
+
+Each run evaluates with the full method's protocol: window voting over
+the scales that config trained on (single_fixed@v votes at v alone; the
+dynamic configs fuse all --values — that IS the method under test).
+
+Usage:
+    python scripts/sched_ablation.py [--niter 1500] [--seeds 3]
+        [--values 25,35,45,55,65] [--out docs/sched_ablation.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(args, distribution, values, seed, update_type="acc"):
+    from dynseg.cli import build_argparser, config_from_args, run_training
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cli = build_argparser().parse_args([
+            "--operation", "training",
+            "--dataset", args.dataset,
+            "--dataset_path", args.dataset_path,
+            "--output_path", tmp,
+            "--net_type", args.net_type,
+            "--distribution_type", distribution,
+            "--values", ",".join(str(v) for v in values),
+            "--update_type", update_type,
+            "--niter", str(args.niter),
+            "--batch_size", str(args.batch_size),
+            "--learning_rate", str(args.learning_rate),
+            "--seed", str(seed),
+            "--eval_every", str(10 * args.niter),
+            "--checkpoint_every", str(10 * args.niter),
+            "--window_batch", str(args.window_batch),
+            "--no_prediction_maps",
+        ] + (["--rescale_batch_by_area"] if args.rescale_batch_by_area else []))
+        cfg = config_from_args(cli)
+        if args.width_multiplier != 1.0:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, width_multiplier=args.width_multiplier))
+        final_probs = {}
+        logs = []
+
+        def log(*msg):
+            line = " ".join(str(m) for m in msg)
+            logs.append(line)
+            if "final scale distribution" in line:
+                print(f"    {line}")
+
+        t0 = time.time()
+        scores = run_training(cfg, log=log)
+        if scores.get("preempted"):
+            raise KeyboardInterrupt
+        return {
+            "oa": float(scores["oa"]),
+            "kappa": float(scores["kappa"]),
+            "mean_f1": float(scores["mean_f1"]),
+            "wall_s": round(time.time() - t0, 1),
+            "final_distribution": next(
+                (ln for ln in logs if "final scale distribution" in ln), ""),
+        }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="synthetic_texture")
+    ap.add_argument("--dataset_path", default="")
+    ap.add_argument("--values", default="25,35,45,55,65")
+    ap.add_argument("--niter", type=int, default=1500)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--learning_rate", type=float, default=0.01)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--net_type", default="dilated_icpr_rate6")
+    ap.add_argument("--width_multiplier", type=float, default=1.0)
+    ap.add_argument("--window_batch", type=int, default=256)
+    ap.add_argument("--rescale_batch_by_area", action="store_true")
+    ap.add_argument("--update_type", default="acc")
+    ap.add_argument("--skip_single_fixed", action="store_true",
+                    help="only run the four distribution types over the "
+                         "full --values list (skip per-scale baselines)")
+    ap.add_argument("--out", default="docs/sched_ablation.json")
+    ap.add_argument("--platform", default="",
+                    help="'cpu' forces XLA-CPU (axon ignores JAX_PLATFORMS)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    values = [int(v) for v in args.values.split(",")]
+    configs = []
+    if not args.skip_single_fixed:
+        configs += [(f"single_fixed@{v}", "single_fixed", [v]) for v in values]
+    configs += [
+        ("multi_fixed", "multi_fixed", values),
+        ("uniform", "uniform", values),
+        ("multinomial", "multinomial", values),
+    ]
+
+    results = []
+    try:
+        for name, dist, vals in configs:
+            runs = []
+            for seed in range(args.seeds):
+                print(f"[{name} seed={seed}] ...", flush=True)
+                r = run_one(args, dist, vals, seed,
+                            update_type=args.update_type)
+                print(f"[{name} seed={seed}] OA={r['oa']:.4f} "
+                      f"meanF1={r['mean_f1']:.4f} ({r['wall_s']}s)",
+                      flush=True)
+                runs.append(r)
+            oas = [r["oa"] for r in runs]
+            f1s = [r["mean_f1"] for r in runs]
+            results.append({
+                "config": name, "distribution": dist, "values": vals,
+                "oa_mean": round(sum(oas) / len(oas), 4),
+                "oa_min": round(min(oas), 4), "oa_max": round(max(oas), 4),
+                "f1_mean": round(sum(f1s) / len(f1s), 4),
+                "runs": runs,
+            })
+    except KeyboardInterrupt:
+        print("interrupted — writing partial results")
+
+    results.sort(key=lambda r: -r["oa_mean"])
+    payload = {
+        "dataset": args.dataset, "values": values, "niter": args.niter,
+        "batch_size": args.batch_size, "seeds": args.seeds,
+        "net_type": args.net_type, "update_type": args.update_type,
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"\n{'config':<18} {'OA':>8} {'min':>8} {'max':>8} {'meanF1':>8}")
+    for r in results:
+        print(f"{r['config']:<18} {r['oa_mean']:>8.4f} {r['oa_min']:>8.4f} "
+              f"{r['oa_max']:>8.4f} {r['f1_mean']:>8.4f}")
+    print(f"-> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

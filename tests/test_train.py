@@ -341,3 +341,27 @@ def test_dp_checkpoint_save_restore_roundtrip(tiles, tmp_path):
     # restored state must be usable for further sharded steps
     restored, m = trainer2.train_step(restored, 9, jax.random.key(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_shard_tiles_uneven_count_interleaves_dummies():
+    """An uneven tile count (2n+1 over n devices) pads with all-IGNORE
+    dummy tiles; those must SPREAD across device shards (round-robin
+    interleave) — appended in place they fill whole trailing shards and
+    the sampler rejects the unlabeled device (round-1 dryrun regression)."""
+    n = jax.device_count()
+    train_tiles, _ = load_synthetic(seed=1, num_tiles=2 * n + 1, size=48)
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=2 * n, niter=4, num_devices=n,
+        seed=0, shard_tiles=True,
+    ))
+    trainer = Trainer(cfg, train_tiles)  # must not raise
+    assert trainer.images.shape[0] == 3 * n  # padded to a multiple
+    # every device shard retains at least one labeled (real) tile
+    masks = np.asarray(trainer.masks)
+    tpd = trainer.tiles_per_device
+    for d in range(n):
+        shard = masks[d * tpd:(d + 1) * tpd]
+        assert (shard != 255).any(), f"device {d} shard all-IGNORE"
+    state = trainer.init_state(jax.random.key(0))
+    state, m = trainer.train_step(state, 9, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
