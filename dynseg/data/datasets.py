@@ -172,6 +172,9 @@ def load_synthetic_texture(
     evaluation stays against clean ground truth.
     """
     rng = np.random.default_rng(seed)
+    # Separate stream for label corruption so toggling label_noise never
+    # changes the generated imagery/geometry (same-seed comparability).
+    noise_rng = np.random.default_rng(seed + 987654321)
     nc = len(cells)
     probs = np.asarray(class_probs, np.float64)
     probs = probs / probs.sum()
@@ -201,8 +204,8 @@ def load_synthetic_texture(
             im += rng.normal(scale=noise, size=im.shape)
             im = np.clip(im, 0.0, 255.0).astype(np.float32)
             if corrupt and label_noise > 0:
-                flip = rng.random(mask.shape) < label_noise
-                other = rng.integers(0, nc - 1, size=mask.shape)
+                flip = noise_rng.random(mask.shape) < label_noise
+                other = noise_rng.integers(0, nc - 1, size=mask.shape)
                 other = np.where(other >= mask, other + 1, other)
                 mask = np.where(flip, other.astype(np.int32), mask)
             ims.append(im)

@@ -123,3 +123,78 @@ def test_synthetic_dataset_structure():
     assert train.mean is not None and test.mean is not None
     np.testing.assert_array_equal(train.mean, test.mean)
     assert set(np.unique(train.masks)) <= {0, 1}
+
+
+# --------------------------------------------------------------------- #
+# Context-sensitive texture benchmark (round-1 verdict #2): the generator
+# must carry ZERO first-order signal — classes separable only by period.
+# --------------------------------------------------------------------- #
+
+def test_texture_benchmark_no_first_order_signal():
+    from dynseg.data.datasets import load_synthetic_texture
+
+    tr, te = load_synthetic_texture(seed=3, num_tiles=3, size=192,
+                                    cells=(2, 4, 12, 24))
+    means, stds = [], []
+    for c in range(4):
+        sel = tr.masks == c
+        assert sel.sum() > 500  # every class present
+        means.append(tr.images[sel].mean())
+        stds.append(tr.images[sel].std())
+    # identical two-value checkers + shared noise: per-class channel mean
+    # within a few gray levels (finite-phase wobble), std within ~5%
+    assert max(means) - min(means) < 6.0, means
+    assert (max(stds) - min(stds)) / np.mean(stds) < 0.06, stds
+    # a 1x1-conv-equivalent (per-pixel color classifier) cannot beat the
+    # prior by much: nearest-class-mean per-pixel accuracy ~= chance
+    cm = np.array(means)
+    pix = tr.images[..., 0].ravel()
+    pred = np.abs(pix[:, None] - cm[None, :]).argmin(1)
+    acc = (pred == tr.masks.ravel()).mean()
+    assert acc < 0.45, f"color-only accuracy {acc:.3f} — first-order leak"
+
+
+def test_texture_benchmark_label_noise_train_only():
+    from dynseg.data.datasets import load_synthetic_texture
+
+    tr_clean, te_clean = load_synthetic_texture(seed=5, num_tiles=2,
+                                                size=96, label_noise=0.0)
+    tr_noisy, te_noisy = load_synthetic_texture(seed=5, num_tiles=2,
+                                                size=96, label_noise=0.1)
+    # corruption uses a separate rng stream -> identical imagery
+    np.testing.assert_array_equal(tr_clean.images, tr_noisy.images)
+    frac = (tr_clean.masks != tr_noisy.masks).mean()
+    assert 0.05 < frac < 0.15  # ~10% of train labels flipped
+    assert set(np.unique(tr_noisy.masks)) <= {0, 1, 2, 3}
+    # evaluation masks stay clean
+    np.testing.assert_array_equal(te_clean.masks, te_noisy.masks)
+
+
+def test_texture_benchmark_coarse_pair_locally_ambiguous():
+    """The design property that makes the benchmark context-sensitive: a
+    small window inside a coarse cell is FLAT for both coarse classes
+    (indistinguishable), while fine-pair windows always show edges."""
+    from dynseg.data.datasets import load_synthetic_texture
+
+    tr, _ = load_synthetic_texture(seed=7, num_tiles=2, size=192,
+                                   cells=(2, 4, 24, 48), noise=0.0)
+    w = 9
+
+    def flat_fraction(cls):
+        hits = flats = 0
+        for t in range(tr.num_tiles):
+            ys, xs = np.where(tr.masks[t] == cls)
+            for y, x in zip(ys[::29], xs[::29]):
+                if y + w >= 192 or x + w >= 192:
+                    continue
+                if not (tr.masks[t, y:y + w, x:x + w] == cls).all():
+                    continue
+                patch = tr.images[t, y:y + w, x:x + w, 0]
+                hits += 1
+                flats += int(patch.std() < 1e-3)
+        return flats / max(hits, 1)
+
+    assert flat_fraction(2) > 0.2   # cell-24: many flat 9px windows
+    assert flat_fraction(3) > 0.2   # cell-48: likewise
+    assert flat_fraction(0) == 0.0  # cell-2: never flat
+    assert flat_fraction(1) == 0.0  # cell-4: never flat

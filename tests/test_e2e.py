@@ -506,3 +506,42 @@ def test_resume_with_changed_values_rejected(tmp_path):
         flags + ["--values", "9", "--resume"])
     cfg3 = _shrink(config_from_args(args3), niter=8)
     run_training(cfg3, log=lambda *_: None)
+
+
+def test_multinomial_concentrates_on_informative_scale():
+    """Round-1 verdict #2c regression: on the context-sensitive texture
+    benchmark (coarse pair ambiguous below ~2*cell context) the
+    multinomial scheduler's per-scale accuracy scores — and hence its
+    probability mass — must favor the scale that can actually separate
+    the classes (25 px over 9 px for 12/24 px cells)."""
+    from dynseg.config import (
+        Config, DataConfig, ModelConfig, SchedulerConfig, TrainConfig,
+    )
+    from dynseg.data.datasets import load_synthetic_texture
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import Trainer
+
+    tiles, _ = load_synthetic_texture(
+        seed=0, num_tiles=2, size=128, cells=(2, 4, 12, 24),
+        region_px=48, noise=15.0, label_noise=0.0)
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_grsl", num_classes=4,
+                          num_input_bands=3, width_multiplier=0.125),
+        sched=SchedulerConfig(distribution_type="multinomial",
+                              values=(9, 25), update_type="acc"),
+        train=TrainConfig(batch_size=12, niter=100, seed=0),
+        data=DataConfig(dataset="synthetic_texture"),
+    )
+    trainer = Trainer(cfg, tiles)
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    state = trainer.init_state(jax.random.key(0))
+    rng = jax.random.key(1)
+    for _ in range(100):
+        rng, dr = jax.random.split(rng)
+        s = sched.select()
+        state, m = trainer.train_step(state, s, dr)
+        sched.update(s, float(m["loss"]), float(m["acc"]))
+    scores = {v: sched._scores[v] for v in (9, 25)}
+    p = dict(zip(sched.values, sched.probabilities()))
+    assert scores[25] > scores[9] + 0.01, scores
+    assert p[25] > p[9], p
