@@ -97,6 +97,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "'ndsm' or 'dsm,ndsm' (ISPRS height data)")
     # --- new-framework knobs ---
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--pool_backward", default="xla", choices=["xla", "pallas"],
+                   help="stride-1 max-pool VJP: XLA select_and_scatter or "
+                        "the (H*W,C)-layout Pallas kernel (ops/pool.py)")
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--checkpoint_every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
@@ -181,6 +184,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             net_type=args.net_type,
             num_classes=NUM_CLASSES[args.dataset],
             compute_dtype=args.compute_dtype,
+            pool_backward=args.pool_backward,
         ),
         sched=SchedulerConfig(
             distribution_type=args.distribution_type,

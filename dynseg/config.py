@@ -52,6 +52,10 @@ class ModelConfig:
     # Dropout keep-prob on the final feature map (reference passes a dropout
     # placeholder; exact rate LOW confidence — default off).
     dropout_rate: float = 0.0
+    # Backward implementation for the stride-1 max pools: "xla"
+    # (select_and_scatter) or "pallas" ((H*W, C)-layout equality-mask
+    # kernel with tie-split subgradient — dynseg/ops/pool.py, K4).
+    pool_backward: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

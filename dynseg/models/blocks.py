@@ -32,6 +32,7 @@ class DilatedConvBlock(nn.Module):
     use_batch_norm: bool = True
     pool: bool = True
     pool_window: int = 3
+    pool_backward: str = "xla"
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,14 +66,20 @@ class DilatedConvBlock(nn.Module):
             # Stride-1 SAME max pool: local max filtering without
             # downsampling ([R] dynamic.py:≈_max_pool). Its backward
             # (select_and_scatter, ~23% of the train step) was pressure-
-            # tested against four alternatives and kept — see
-            # docs/DESIGN.md "Kernel decisions".
-            x = nn.max_pool(
-                x,
-                window_shape=(self.pool_window, self.pool_window),
-                strides=(1, 1),
-                padding="SAME",
-            )
+            # tested against four alternatives (docs/DESIGN.md "Kernel
+            # decisions"); attempt 5 is the opt-in (H*W, C) Pallas
+            # kernel (ops/pool.py, --pool_backward pallas).
+            if self.pool_backward == "pallas":
+                from dynseg.ops.pool import max_pool_s1
+
+                x = max_pool_s1(x, self.pool_window)
+            else:
+                x = nn.max_pool(
+                    x,
+                    window_shape=(self.pool_window, self.pool_window),
+                    strides=(1, 1),
+                    padding="SAME",
+                )
         return x
 
 

@@ -77,6 +77,7 @@ class DilatedNet(nn.Module):
                 use_batch_norm=self.cfg.use_batch_norm,
                 pool=pool,
                 pool_window=self.cfg.pool_window,
+                pool_backward=self.cfg.pool_backward,
                 compute_dtype=dtype,
             )(x, train=train)
         if self.cfg.dropout_rate > 0:
@@ -105,6 +106,7 @@ class DilatedDenseNet(nn.Module):
                 use_batch_norm=self.cfg.use_batch_norm,
                 pool=pool,
                 pool_window=self.cfg.pool_window,
+                pool_backward=self.cfg.pool_backward,
                 compute_dtype=dtype,
             )(inp, train=train)
             feats_so_far.append(out)

@@ -4,6 +4,7 @@ multi-context training (§3.3)."""
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from dynseg.config import NET_TYPES, ModelConfig
@@ -57,3 +58,32 @@ def test_dense_variant_differs_from_sequential():
     na = sum(p.size for p in jax.tree.leaves(va["params"]))
     nb = sum(p.size for p in jax.tree.leaves(vb["params"]))
     assert nb > na  # dense concat inflates input channels
+
+
+def test_pool_backward_pallas_flag_cpu_fallback(rng):
+    """ModelConfig.pool_backward='pallas' must train on CPU too (the
+    support gate routes the VJP back to XLA off-TPU) and produce the
+    same gradients as the default config on tie-free input."""
+    import dataclasses
+
+    import optax  # noqa: F401  (ensures train deps present)
+
+    from dynseg.config import ModelConfig
+    from dynseg.models.dilated import build_model
+
+    cfg = ModelConfig(net_type="dilated_grsl", num_classes=3,
+                      num_input_bands=3, width_multiplier=0.125,
+                      use_batch_norm=False)
+    cfg_p = dataclasses.replace(cfg, pool_backward="pallas")
+    x = jnp.asarray(rng.normal(size=(2, 9, 9, 3)).astype(np.float32))
+    m1, m2 = build_model(cfg), build_model(cfg_p)
+    v = m1.init(jax.random.key(0), x)
+
+    def loss(model, v):
+        return (model.apply(v, x) ** 2).mean()
+
+    g1 = jax.grad(lambda v: loss(m1, v))(v)
+    g2 = jax.grad(lambda v: loss(m2, v))(v)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

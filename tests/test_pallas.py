@@ -4,6 +4,8 @@ Runs in Mosaic interpret mode so correctness is checked on CPU CI; the
 same kernel is parity-checked on real hardware by scripts/tpu_checks.py.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
@@ -128,3 +130,83 @@ def test_storage_dtype_selection(rng):
     assert storage_dtype(np.array([[0.5, 12.0]])) == np.float32
     assert storage_dtype(np.array([[-1.0, 3.0]])) == np.float32
     assert storage_dtype(np.array([[0.0, 256.0]])) == np.float32
+
+
+# --------------------------------------------------------------------- #
+# K4 attempt 5: (H*W, C)-layout Pallas pool backward (DESIGN.md K4).
+# --------------------------------------------------------------------- #
+
+def _xla_pool_grad(x, g, window=3):
+    import dynseg.ops.pool as pool
+
+    _, vjp = jax.vjp(lambda v: pool.pool_forward(v, window), x)
+    return vjp(g)[0]
+
+
+def test_pallas_pool_bwd_matches_xla_no_ties(rng):
+    """With all-distinct window values the tie-split and first-max
+    subgradients coincide — the kernel must match XLA select_and_scatter
+    exactly."""
+    import dynseg.ops.pool as pool
+
+    b, h, w, c = 2, 7, 5, 8
+    # distinct values guarantee no ties
+    x = jnp.asarray(
+        rng.permutation(b * h * w * c).reshape(b, h, w, c).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    y = pool.pool_forward(x)
+    dx = pool.pallas_pool_bwd(x, y, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx),
+                               np.asarray(_xla_pool_grad(x, g)), atol=1e-5)
+
+
+def test_pallas_pool_bwd_tie_split_conserves_mass(rng):
+    """Plateaus (common under stacked stride-1 pools): the kernel splits
+    each window's gradient equally across argmax ties; total gradient
+    mass equals sum(g) either way."""
+    import dynseg.ops.pool as pool
+
+    b, h, w, c = 1, 6, 6, 8
+    x = jnp.asarray(
+        (rng.integers(0, 3, size=(b, h, w, c))).astype(np.float32))  # ties
+    g = jnp.asarray(rng.uniform(1, 2, size=(b, h, w, c)).astype(np.float32))
+    y = pool.pool_forward(x)
+    dx = pool.pallas_pool_bwd(x, y, g, interpret=True)
+    np.testing.assert_allclose(float(dx.sum()), float(g.sum()), rtol=1e-5)
+    # an all-equal window splits its gradient 1/9 per tap
+    x0 = jnp.zeros((1, 9, 9, 8), jnp.float32)
+    g0 = jnp.ones_like(x0)
+    dx0 = pool.pallas_pool_bwd(x0, pool.pool_forward(x0), g0, interpret=True)
+    np.testing.assert_allclose(float(dx0[0, 4, 4, 0]), 1.0, rtol=1e-5)
+
+
+def test_pallas_pool_bwd_window5(rng):
+    import dynseg.ops.pool as pool
+
+    x = jnp.asarray(rng.permutation(8 * 8 * 8).reshape(1, 8, 8, 8)
+                    .astype(np.float32))
+    g = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    y = pool.pool_forward(x, window=5)
+    dx = pool.pallas_pool_bwd(x, y, g, window=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx),
+                               np.asarray(_xla_pool_grad(x, g, 5)), atol=1e-5)
+
+
+def test_max_pool_s1_custom_vjp_grad(rng):
+    """End-to-end custom_vjp: gradient through max_pool_s1 equals the
+    XLA pool gradient on tie-free input (interpret-safe on CPU via the
+    support gate fallback)."""
+    import dynseg.ops.pool as pool
+
+    x = jnp.asarray(rng.permutation(5 * 6 * 8).reshape(1, 5, 6, 8)
+                    .astype(np.float32))
+
+    def loss_custom(v):
+        return (pool.max_pool_s1(v) ** 2).sum()
+
+    def loss_xla(v):
+        return (pool.pool_forward(v) ** 2).sum()
+
+    g1 = jax.grad(loss_custom)(x)
+    g2 = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
