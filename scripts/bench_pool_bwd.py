@@ -44,18 +44,17 @@ def bench_isolated(batch, size, channels, iters=30):
         xla_fn = jax.jit(lambda x, g: pool._xla_pool_vjp(x, g, 3))
         pal_fn = jax.jit(lambda x, y, g: pool.pallas_pool_bwd(x, y, g))
 
-        sync(xla_fn(x, g))
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = xla_fn(x, g)
-        t_xla = (time.perf_counter() - t0 + (sync(r) * 0)) / iters
+        def timed(fn):
+            sync(fn())  # warm + drain
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(iters):
+                r = fn()
+            sync(r)  # wait for the WHOLE chain before stopping the clock
+            return (time.perf_counter() - t0) / iters
 
-        sync(pal_fn(x, y, g))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = pal_fn(x, y, g)
-        t_pal = (time.perf_counter() - t0 + (sync(r) * 0)) / iters
+        t_xla = timed(lambda: xla_fn(x, g))
+        t_pal = timed(lambda: pal_fn(x, y, g))
 
         # parity on-hardware (no-tie input)
         xp = jnp.asarray(np.random.default_rng(0).permutation(
