@@ -84,6 +84,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="comma-separated patch sizes (dynamic scales)")
     p.add_argument("--update_type", default="acc", choices=cfgmod.UPDATE_TYPES,
                    help="scheduler score source: batch acc or loss")
+    p.add_argument("--sched_temperature", type=float, default=1.0,
+                   help="multinomial sharpening: fitness**(1/T); T<1 "
+                        "concentrates mass on the best-scoring scales")
+    p.add_argument("--sched_ema", type=float, default=0.9,
+                   help="EMA factor for per-scale score updates")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--val_tiles", default="",
                    help="ISPRS named validation split: comma-separated tile "
@@ -190,6 +195,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             distribution_type=args.distribution_type,
             values=tuple(values),
             update_type=args.update_type,
+            temperature=args.sched_temperature,
+            ema=args.sched_ema,
         ),
         train=TrainConfig(
             learning_rate=args.learning_rate,

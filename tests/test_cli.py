@@ -158,3 +158,10 @@ def test_reconcile_scales_silent_on_match():
     msgs = []
     out = _reconcile_scales(cfg, sch, msgs.append)
     assert tuple(out.infer.scales) == (9, 13) and not msgs
+
+
+def test_scheduler_knob_flags():
+    cfg = _cfg(["--sched_temperature", "0.25", "--sched_ema", "0.8",
+                "--pool_backward", "pallas"])
+    assert cfg.sched.temperature == 0.25 and cfg.sched.ema == 0.8
+    assert cfg.model.pool_backward == "pallas"
