@@ -17,7 +17,7 @@ from typing import Sequence
 DEFAULT_SCALES = (25, 35, 45, 55, 65)
 
 DISTRIBUTION_TYPES = ("single_fixed", "multi_fixed", "uniform", "multinomial")
-UPDATE_TYPES = ("acc", "loss")
+UPDATE_TYPES = ("acc", "loss", "balanced_acc")
 NET_TYPES = (
     "dilated_icpr_rate6",
     "dilated_icpr_rate6_densely",

@@ -132,3 +132,23 @@ def batch_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     valid = labels != IGNORE_LABEL
     correct = jnp.sum((preds == labels) & valid)
     return correct / jnp.maximum(jnp.sum(valid), 1)
+
+
+def balanced_batch_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
+                            num_classes: int) -> jnp.ndarray:
+    """Mean per-class recall over classes PRESENT in the batch — the
+    scheduler's 'balanced_acc' feedback signal (round-1 verdict weak #5:
+    on class-imbalanced tiles plain per-pixel accuracy compresses toward
+    the majority-class rate across scales, flattening the multinomial).
+    jit-safe scalar in [0, 1]."""
+    preds = jnp.argmax(logits, axis=-1)
+    valid = labels != IGNORE_LABEL
+    labs = jnp.where(valid, labels, 0)
+    onehot = (labs[..., None] == jnp.arange(num_classes)) & valid[..., None]
+    per_class_total = jnp.sum(onehot, axis=tuple(range(labels.ndim)))
+    per_class_hit = jnp.sum(
+        onehot & (preds == labels)[..., None], axis=tuple(range(labels.ndim)))
+    present = per_class_total > 0
+    recall = per_class_hit / jnp.maximum(per_class_total, 1)
+    return jnp.sum(jnp.where(present, recall, 0.0)) / jnp.maximum(
+        jnp.sum(present), 1)

@@ -89,8 +89,8 @@ class ScaleScheduler:
         s = self._scores[v]
         if s is None:
             return float("nan")
-        if self.cfg.update_type == "acc":
-            # accuracy in [0,1]; higher is better
+        if self.cfg.update_type in ("acc", "balanced_acc"):
+            # accuracy-like in [0,1]; higher is better
             return s if self.cfg.favor_high_score else (1.0 - s)
         # loss >= 0; lower is better
         return 1.0 / (1.0 + s) if self.cfg.favor_high_score else s
@@ -98,10 +98,17 @@ class ScaleScheduler:
     # ------------------------------------------------------------------ #
     # feedback
     # ------------------------------------------------------------------ #
-    def update(self, scale: int, loss: float, acc: float) -> None:
+    def update(self, scale: int, loss: float, acc: float,
+               bacc: Optional[float] = None) -> None:
         """EMA-update the chosen scale's score from this batch's feedback
-        ([R] dynamic.py:≈scores[lambda] update; SURVEY.md §3.4)."""
-        metric = acc if self.cfg.update_type == "acc" else loss
+        ([R] dynamic.py:≈scores[lambda] update; SURVEY.md §3.4). bacc is
+        the imbalance-robust mean per-class recall (update_type
+        balanced_acc — beyond-reference knob, round-1 verdict weak #5);
+        falls back to plain accuracy when the caller has none."""
+        if self.cfg.update_type == "balanced_acc":
+            metric = acc if bacc is None else bacc
+        else:
+            metric = acc if self.cfg.update_type == "acc" else loss
         prev = self._scores[scale]
         ema = self.cfg.ema
         self._scores[scale] = (

@@ -34,7 +34,7 @@ from flax.core import FrozenDict
 from dynseg.config import Config
 from dynseg.data.sampler import BalancedPatchSampler
 from dynseg.data.tiles import IGNORE_LABEL, TileSet, mirror_pad
-from dynseg.metrics import batch_accuracy, confusion_matrix
+from dynseg.metrics import balanced_batch_accuracy, batch_accuracy, confusion_matrix
 from dynseg.models.dilated import build_model
 from dynseg.ops.gather import gather_batch
 from dynseg.sched.scheduler import ScaleScheduler
@@ -315,6 +315,10 @@ class Trainer:
         metrics = {
             "loss": loss,
             "acc": batch_accuracy(logits, labs),
+            # mean per-class recall: imbalance-robust scheduler signal
+            # (update_type balanced_acc — round-1 verdict weak #5)
+            "bacc": balanced_batch_accuracy(
+                logits, labs, self.cfg.model.num_classes),
         }
         new_state = TrainState(
             step=state.step + 1,
@@ -508,7 +512,8 @@ def train_loop(
 
     def consume_one():
         ps, pm = pending.popleft()
-        scheduler.update(ps, float(pm["loss"]), float(pm["acc"]))
+        scheduler.update(ps, float(pm["loss"]), float(pm["acc"]),
+                         bacc=float(pm["bacc"]) if "bacc" in pm else None)
 
     t0 = time.perf_counter()
     patches = 0
@@ -532,7 +537,9 @@ def train_loop(
             prev_it, it = it, it + k
             patches += k * trainer.batch_size_for(scale)
 
-            for m in (metrics["loss"], metrics["acc"]):
+            for m in (metrics["loss"], metrics["acc"], metrics.get("bacc")):
+                if m is None:
+                    continue
                 try:
                     m.copy_to_host_async()
                 except AttributeError:  # non-jax array (tests with fakes)

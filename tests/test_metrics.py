@@ -85,3 +85,35 @@ def test_erode_boundaries_edge_cases():
     m = np.arange(9, dtype=np.int32).reshape(3, 3)
     np.testing.assert_array_equal(erode_boundaries(m, 0), m)  # radius 0 = no-op
     assert erode_boundaries(m, 1) is not m  # always a copy when r > 0
+
+
+def test_balanced_batch_accuracy_golden(rng):
+    """balanced_batch_accuracy == sklearn balanced_accuracy_score over
+    valid pixels (mean per-class recall, classes present only)."""
+    from sklearn.metrics import balanced_accuracy_score
+
+    from dynseg.data.tiles import IGNORE_LABEL
+    from dynseg.metrics import balanced_batch_accuracy
+
+    nc = 4
+    logits = jnp.asarray(rng.normal(size=(3, 8, 9, nc)).astype(np.float32))
+    labels = rng.integers(0, nc, size=(3, 8, 9)).astype(np.int32)
+    labels[0, :2] = IGNORE_LABEL
+    got = float(balanced_batch_accuracy(logits, jnp.asarray(labels), nc))
+    preds = np.argmax(np.asarray(logits), -1)
+    v = labels != IGNORE_LABEL
+    want = balanced_accuracy_score(labels[v], preds[v])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_balanced_batch_accuracy_imbalance_sensitivity():
+    """The design point: a majority-class predictor scores high on plain
+    accuracy but low on balanced accuracy."""
+    from dynseg.metrics import balanced_batch_accuracy, batch_accuracy
+
+    labels = jnp.asarray(np.array([[0] * 95 + [1] * 5], np.int32))
+    logits = jnp.zeros((1, 100, 2)).at[..., 0].set(10.0)  # always class 0
+    np.testing.assert_allclose(float(batch_accuracy(logits, labels)),
+                               0.95, atol=1e-6)
+    np.testing.assert_allclose(
+        float(balanced_batch_accuracy(logits, labels, 2)), 0.5, atol=1e-6)
