@@ -158,8 +158,16 @@ def main():
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             baseline = json.load(f)
+        if baseline.get("platform") != "tf-cpu":
+            print(f"warning: cached baseline platform is "
+                  f"{baseline.get('platform')!r}, not the TF-CPU reference "
+                  f"measurement — vs_baseline is a proxy; rerun "
+                  f"scripts/tf_baseline.py --write_cache", file=sys.stderr)
     else:
         try:
+            # --write_cache makes tf_baseline.py persist its own result;
+            # a TRANSIENT failure must NOT be cached (it would silently
+            # replace the TF denominator with the proxy forever).
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts", "tf_baseline.py"),
                  "--batch", "50", "--steps", "6", "--write_cache"],
@@ -168,12 +176,10 @@ def main():
             baseline = json.loads(
                 [l for l in out.stdout.splitlines() if l.startswith("{")][-1])
         except Exception as e:  # noqa: BLE001 — degraded but explicit
-            print(f"tf_baseline failed ({e}); using XLA-CPU proxy",
+            print(f"tf_baseline failed ({e}); using UNCACHED XLA-CPU proxy",
                   file=sys.stderr)
             baseline = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"},
                                  batch=16, steps=4)
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump(baseline, f)
 
     # TPU (or whatever the default platform is) measurement. 16 fused
     # steps/launch amortizes the remote-tunnel dispatch latency (the

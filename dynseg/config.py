@@ -239,4 +239,17 @@ class Config:
         check(not self.train.shard_tiles or self.train.num_devices > 1,
               "--shard_tiles requires --num_devices > 1 (a device mesh "
               "to shard the tile axis over)")
+        check(0.0 <= self.sched.ema < 1.0,
+              f"sched_ema must be in [0, 1), got {self.sched.ema} "
+              f"(1.0 would freeze scores; >1 diverges)")
+        check(self.sched.temperature > 0.0,
+              f"sched_temperature must be > 0, got {self.sched.temperature}")
+        check(self.model.pool_backward in ("xla", "pallas"),
+              f"pool_backward {self.model.pool_backward!r} not in "
+              f"('xla', 'pallas')")
+        extra = tuple(b.strip() for b in self.data.extra_bands.split(",")
+                      if b.strip())
+        check(all(b in ("dsm", "ndsm") for b in extra),
+              f"extra_bands {self.data.extra_bands!r}: accepted values are "
+              f"dsm, ndsm")
         return self

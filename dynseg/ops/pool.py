@@ -119,9 +119,14 @@ def _channel_block(HW: int, C: int) -> int:
     return cb
 
 
-def pallas_pool_bwd_supported(shape: Tuple[int, ...], dtype) -> bool:
-    if jax.default_backend() == "cpu":
-        return False  # Mosaic lowering needs a TPU; CPU takes the XLA VJP
+def pallas_pool_bwd_supported(shape: Tuple[int, ...], dtype,
+                              window: int = 3) -> bool:
+    # Mosaic lowering needs a TPU (this box's tunneled chip reports the
+    # experimental "axon" platform); everything else takes the XLA VJP.
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if window % 2 != 1:
+        return False  # _offsets assumes a symmetric (odd) SAME window
     if jnp.dtype(dtype) != jnp.float32 or len(shape) != 4:
         return False
     _, h, w, c = shape
@@ -133,6 +138,9 @@ def pallas_pool_bwd(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
                     window: int = 3, interpret: bool = False) -> jnp.ndarray:
     """dx for y = maxpool_{window,SAME,stride1}(x) given cotangent g.
     x, y, g: (B, H, W, C) float32."""
+    assert window % 2 == 1, (
+        f"pallas_pool_bwd: even window {window} has an asymmetric SAME "
+        f"footprint the symmetric tap set cannot express; use the XLA VJP")
     b, h, w, c = x.shape
     hw = h * w
     cb = _channel_block(hw, c)
@@ -169,7 +177,7 @@ def _mp_fwd(x, window):
 
 def _mp_bwd(window, res, g):
     x, y = res
-    if pallas_pool_bwd_supported(x.shape, x.dtype):
+    if pallas_pool_bwd_supported(x.shape, x.dtype, window):
         return (pallas_pool_bwd(x, y, g, window),)
     return (_xla_pool_vjp(x, g, window),)
 

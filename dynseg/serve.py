@@ -379,31 +379,41 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 return self._json(404, {"error": f"no route {url.path}"})
             t0 = time.monotonic()
             mode = "window"
+
+            def drain():
+                # Discard the body in bounded chunks BEFORE any error
+                # response — responding mid-upload breaks the client's
+                # send and it never sees the status.
+                left = int(self.headers.get("Content-Length", 0) or 0)
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:  # client hung up mid-upload
+                        break
+                    left -= len(chunk)
+
+            def client_error(status, msg):
+                drain()
+                stats.record(mode, time.monotonic() - t0, 0, error=True)
+                return self._json(status, {"error": msg})
+
             try:
                 q = parse_qs(url.query)
                 mode = q.get("mode", ["window"])[0]
+                if mode not in ("window", "dense"):
+                    return client_error(
+                        400, f"unknown mode {mode!r}; accepted: window, dense")
                 output = q.get("output", ["labels"])[0]
                 if output not in ("labels", "probs", "png"):
-                    return self._json(400, {
-                        "error": f"unknown output {output!r}; "
-                                 "accepted: labels, probs, png"})
+                    return client_error(
+                        400, f"unknown output {output!r}; "
+                             "accepted: labels, probs, png")
                 scales = ([int(s) for s in q["scales"][0].split(",")]
                           if "scales" in q else None)
                 n = int(self.headers.get("Content-Length", 0))
                 if n > max_request_mb * 1024 * 1024:
-                    # Drain (discard) the body in bounded chunks first —
-                    # responding mid-upload breaks the client's send and
-                    # it never sees the 413.
-                    left = n
-                    while left > 0:
-                        chunk = self.rfile.read(min(left, 1 << 20))
-                        if not chunk:  # client hung up mid-upload
-                            break
-                        left -= len(chunk)
-                    stats.record(mode, time.monotonic() - t0, 0, error=True)
-                    return self._json(413, {
-                        "error": f"request body {n} bytes exceeds the "
-                                 f"{max_request_mb} MiB limit"})
+                    return client_error(
+                        413, f"request body {n} bytes exceeds the "
+                             f"{max_request_mb} MiB limit")
                 img = _decode_body(self.rfile.read(n),
                                    self.headers.get("Content-Type", ""))
                 labels, probs = engine.predict(
@@ -418,8 +428,11 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                     buf = io.BytesIO()
                     np.save(buf, probs if output == "probs" else labels)
                     body, ctype = buf.getvalue(), "application/x-npy"
-            except (ValueError, KeyError) as e:
-                # Malformed request (bad query values, undecodable body).
+            except ValueError as e:
+                # Malformed request (bad query values, undecodable body,
+                # wrong band count). KeyError is deliberately NOT here:
+                # with mode/output validated up front, a KeyError is a
+                # server-side fault and must surface as 500.
                 stats.record(mode, time.monotonic() - t0, 0, error=True)
                 return self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — genuine server fault

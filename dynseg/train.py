@@ -315,11 +315,15 @@ class Trainer:
         metrics = {
             "loss": loss,
             "acc": batch_accuracy(logits, labs),
-            # mean per-class recall: imbalance-robust scheduler signal
-            # (update_type balanced_acc — round-1 verdict weak #5)
-            "bacc": balanced_batch_accuracy(
-                logits, labs, self.cfg.model.num_classes),
         }
+        if self.cfg.sched.update_type == "balanced_acc":
+            # mean per-class recall: imbalance-robust scheduler signal
+            # (update_type balanced_acc — round-1 verdict weak #5).
+            # Computed + fetched only when the scheduler consumes it —
+            # the onehot reduction and the extra per-step scalar
+            # round-trip are pure waste otherwise.
+            metrics["bacc"] = balanced_batch_accuracy(
+                logits, labs, self.cfg.model.num_classes)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

@@ -56,7 +56,6 @@ def run_one(args, distribution, values, seed, update_type="acc"):
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(
                     cfg.model, width_multiplier=args.width_multiplier))
-        final_probs = {}
         logs = []
 
         def log(*msg):

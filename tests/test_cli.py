@@ -99,6 +99,9 @@ def test_invalid_choices_rejected():
     (["--window_batch", "0"], "window_batch"),
     (["--num_devices", "0"], "num_devices"),
     (["--eval_eroded_boundaries", "-1"], "eval_eroded"),
+    (["--sched_ema", "1.5"], "sched_ema"),
+    (["--sched_temperature", "0"], "sched_temperature"),
+    (["--extra_bands", "dsm,nsdm"], "extra_bands"),
 ])
 def test_config_validation_messages(flags, match):
     """validate() raises ValueError with an actionable message (bare

@@ -210,3 +210,15 @@ def test_max_pool_s1_custom_vjp_grad(rng):
     g1 = jax.grad(loss_custom)(x)
     g2 = jax.grad(loss_xla)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_pallas_pool_bwd_even_window_rejected():
+    """Even SAME windows have an asymmetric footprint the symmetric tap
+    set cannot express — the gate must refuse and the kernel assert."""
+    import dynseg.ops.pool as pool
+
+    assert not pool.pallas_pool_bwd_supported((1, 8, 8, 8), jnp.float32,
+                                              window=2)
+    x = jnp.zeros((1, 8, 8, 8), jnp.float32)
+    with pytest.raises(AssertionError, match="even window"):
+        pool.pallas_pool_bwd(x, x, x, window=2, interpret=True)
