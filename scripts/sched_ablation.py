@@ -42,6 +42,7 @@ def run_one(args, distribution, values, seed, update_type="acc"):
             "--distribution_type", distribution,
             "--values", ",".join(str(v) for v in values),
             "--update_type", update_type,
+            "--sched_temperature", str(args.sched_temperature),
             "--niter", str(args.niter),
             "--batch_size", str(args.batch_size),
             "--learning_rate", str(args.learning_rate),
@@ -92,8 +93,13 @@ def main() -> int:
     ap.add_argument("--window_batch", type=int, default=256)
     ap.add_argument("--rescale_batch_by_area", action="store_true")
     ap.add_argument("--update_type", default="acc")
+    ap.add_argument("--sched_temperature", type=float, default=1.0)
+    ap.add_argument("--distributions", default="multi_fixed,uniform,multinomial",
+                    help="comma list of dynamic distribution types to run")
+    ap.add_argument("--tag", default="",
+                    help="suffix appended to config names in the output")
     ap.add_argument("--skip_single_fixed", action="store_true",
-                    help="only run the four distribution types over the "
+                    help="only run the dynamic distribution types over the "
                          "full --values list (skip per-scale baselines)")
     ap.add_argument("--out", default="docs/sched_ablation.json")
     ap.add_argument("--platform", default="",
@@ -109,11 +115,8 @@ def main() -> int:
     configs = []
     if not args.skip_single_fixed:
         configs += [(f"single_fixed@{v}", "single_fixed", [v]) for v in values]
-    configs += [
-        ("multi_fixed", "multi_fixed", values),
-        ("uniform", "uniform", values),
-        ("multinomial", "multinomial", values),
-    ]
+    configs += [(d + args.tag, d, values)
+                for d in args.distributions.split(",") if d]
 
     results = []
     try:
