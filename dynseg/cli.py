@@ -328,6 +328,11 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         "leaky_slope": cfg.model.leaky_slope,
         "pool_window": cfg.model.pool_window,
         "dropout_rate": cfg.model.dropout_rate,
+        # Data-protocol provenance (reproducibility — which split/bands
+        # produced this checkpoint; informational, not restored).
+        "val_tiles": cfg.data.val_tiles,
+        "bands": cfg.data.bands,
+        "extra_bands": cfg.data.extra_bands,
     })
 
     start_iter = 0
@@ -670,6 +675,9 @@ def run_info(cfg: Config, log=print, use_best: bool = False) -> dict:
         "normalization_std": [round(float(x), 4)
                               for x in np.ravel(stats["std"])],
         "scheduler": scheduler.summary(),
+        "protocol": {k: stats.get(k, "") for k in
+                     ("val_tiles", "bands", "extra_bands")
+                     if stats.get(k)},
         "best": ckpt.best_record(),
         "checkpoints": sorted(int(s) for s in ckpt.mgr.all_steps()),
         "export": os.path.isdir(
