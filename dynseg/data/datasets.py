@@ -227,7 +227,8 @@ def _decode_pool():
     the GIL, so this parallelizes on multi-core production hosts; the
     floor of 4 still overlaps file I/O with decode on small machines.
     (This dev box exposes 1 vCPU, so the speedup could not be validated
-    here — behavior-tested only.)"""
+    here; correctness under genuine thread interleaving IS pinned by
+    tests/test_loaders.py::test_decode_pool_preserves_file_content_pairing.)"""
     global _POOL
     if _POOL is None:
         from concurrent.futures import ThreadPoolExecutor
