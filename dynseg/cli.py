@@ -476,7 +476,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
     scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log,
                            mesh=mesh)
     _save_maps(cfg, scores, test_tiles)
-    _write_scores(cfg, scores)
+    _write_scores(cfg, scores, scales=scales)
     return scores
 
 
@@ -688,12 +688,20 @@ def run_info(cfg: Config, log=print, use_best: bool = False) -> dict:
     return info
 
 
-def _write_scores(cfg: Config, scores: dict) -> None:
+def _write_scores(cfg: Config, scores: dict, scales=None) -> None:
     out = {
         "oa": scores["oa"],
         "kappa": scores["kappa"],
         "mean_f1": scores["mean_f1"],
         "f1": list(map(float, scores["f1"])),
+        # Provenance: which estimator produced these numbers (top-K
+        # fusion / dense / TTA all share this file — BENCHMARKS.md shows
+        # they score differently, so record what ran).
+        "inference": {
+            "mode": cfg.infer.mode,
+            "scales": [int(s) for s in (scales or cfg.infer.scales)],
+            "tta": cfg.infer.tta,
+        },
     }
     if "eroded" in scores:  # ISPRS boundary-eroded protocol numbers
         es = scores["eroded"]

@@ -88,6 +88,9 @@ def main() -> int:
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--learning_rate", type=float, default=0.01)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed_start", type=int, default=0,
+                    help="first seed (extend an earlier sweep without "
+                         "re-running its seeds; merge the JSONs offline)")
     ap.add_argument("--net_type", default="dilated_icpr_rate6")
     ap.add_argument("--width_multiplier", type=float, default=1.0)
     ap.add_argument("--window_batch", type=int, default=256)
@@ -122,7 +125,7 @@ def main() -> int:
     try:
         for name, dist, vals in configs:
             runs = []
-            for seed in range(args.seeds):
+            for seed in range(args.seed_start, args.seed_start + args.seeds):
                 print(f"[{name} seed={seed}] ...", flush=True)
                 r = run_one(args, dist, vals, seed,
                             update_type=args.update_type)

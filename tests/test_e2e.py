@@ -545,3 +545,41 @@ def test_multinomial_concentrates_on_informative_scale():
     p = dict(zip(sched.values, sched.probabilities()))
     assert scores[25] > scores[9] + 0.01, scores
     assert p[25] > p[9], p
+
+
+def test_scales_from_scheduler_topk_fusion(tmp_path):
+    """`--scales_from_scheduler K` (paper C12 semantics: the trained
+    distribution identifies the best contexts) must restore the
+    checkpoint's scheduler, pick its top-K scoring scales, and fuse only
+    those at validate_test — measured a strict accuracy+speed win on the
+    texture benchmark (BENCHMARKS.md "top-K fusion")."""
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "multinomial",
+        "--values", "9,15",
+        "--window_batch", "32",
+        "--niter", "30",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=30)
+    run_training(cfg, log=lambda *_: None)
+
+    lines = []
+    s = run_testing(cfg, log=lambda *m: lines.append(" ".join(map(str, m))),
+                    scales_from_scheduler=1)
+    sel = [ln for ln in lines if "scheduler-selected inference scales" in ln]
+    assert sel, lines
+    # exactly one scale fused, and it is one of the trained values
+    import re
+    picked = [int(x) for x in re.findall(r"\d+", sel[0])]
+    assert len(picked) == 1 and picked[0] in (9, 15), sel[0]
+    assert 0.0 <= s["oa"] <= 1.0 and s["confusion"].sum() > 0
+    # scores.json records which estimator produced the numbers
+    import json
+    with open(os.path.join(tmp_path, "scores.json")) as f:
+        rec = json.load(f)
+    assert rec["inference"] == {"mode": "window", "scales": picked,
+                                "tta": False}, rec["inference"]
