@@ -431,6 +431,25 @@ def _reconcile_scales(cfg: Config, scheduler, log) -> Config:
     )
 
 
+def _warn_protocol_mismatch(cfg: Config, stats: dict, log) -> None:
+    """Data-protocol provenance guard: the stats sidecar records the
+    split/band choices that produced the checkpoint (val_tiles/bands/
+    extra_bands). Evaluating under a different protocol silently yields
+    incomparable — or train-contaminated — scores (e.g. a val split
+    overlapping the training tiles). The CLI flags stay authoritative
+    (a deliberate protocol change must remain possible); this only
+    makes the mismatch loud."""
+    for key in ("val_tiles", "bands", "extra_bands"):
+        have = str(getattr(cfg.data, key) or "")
+        want = str(stats.get(key) or "")
+        if want != have:
+            log(f"WARNING: checkpoint was trained with --{key}="
+                f"{want or '<default>'} but this run uses "
+                f"{have or '<default>'} — scores are NOT comparable to "
+                f"the training protocol"
+                + (f" (pass --{key} {want} to match)" if want else ""))
+
+
 def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
                 use_best: bool = False) -> dict:
     from dynseg.checkpoint import CheckpointManager
@@ -453,6 +472,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
                 f"checkpoint was trained with net_type="
                 f"{stats['net_type']!r}; pass --net_type {stats['net_type']}"
             )
+        _warn_protocol_mismatch(cfg, stats, log)
         cfg = _adopt_checkpoint_model(cfg, stats)
         state, step = ckpt.restore_state(init_state_template(cfg), scheduler,
                                          best=use_best)
@@ -463,7 +483,10 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
     log(f"restored {'best ' if use_best else ''}checkpoint at iteration {step}")
     cfg = _reconcile_scales(cfg, scheduler, log)
     scales = None
-    if scales_from_scheduler > 0:
+    if scales_from_scheduler > 0 and cfg.infer.mode == "dense":
+        log("WARNING: --scales_from_scheduler has no effect in dense "
+            "mode (whole-tile forward, no window-scale fusion) — ignored")
+    elif scales_from_scheduler > 0:
         # Paper semantics: the trained distribution identifies the best
         # spatial contexts — fuse only the top-K at test time (C12/C15).
         scales = scheduler.best_scales(scales_from_scheduler)
@@ -696,10 +719,13 @@ def _write_scores(cfg: Config, scores: dict, scales=None) -> None:
         "f1": list(map(float, scores["f1"])),
         # Provenance: which estimator produced these numbers (top-K
         # fusion / dense / TTA all share this file — BENCHMARKS.md shows
-        # they score differently, so record what ran).
+        # they score differently, so record what ran). Dense mode is a
+        # whole-tile forward — no window scales are fused, so none are
+        # recorded.
         "inference": {
             "mode": cfg.infer.mode,
-            "scales": [int(s) for s in (scales or cfg.infer.scales)],
+            "scales": ([] if cfg.infer.mode == "dense"
+                       else [int(s) for s in (scales or cfg.infer.scales)]),
             "tta": cfg.infer.tta,
         },
     }

@@ -70,6 +70,7 @@ def run_one(args, distribution, values, seed, update_type="acc"):
         if scores.get("preempted"):
             raise KeyboardInterrupt
         return {
+            "seed": seed,
             "oa": float(scores["oa"]),
             "kappa": float(scores["kappa"]),
             "mean_f1": float(scores["mean_f1"]),
@@ -115,11 +116,21 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
 
     values = [int(v) for v in args.values.split(",")]
+    # Validate up front: a typo'd distribution must fail NOW, not after
+    # hours of completed baseline runs (config_from_args would raise
+    # mid-sweep and the partial-results writer only catches ^C).
+    from dynseg.config import DISTRIBUTION_TYPES
+
+    dists = [d.strip() for d in args.distributions.split(",") if d.strip()]
+    bad = [d for d in dists if d not in DISTRIBUTION_TYPES]
+    if bad:
+        ap.error(f"unknown --distributions {bad}; accepted: "
+                 f"{sorted(DISTRIBUTION_TYPES)}")
     configs = []
     if not args.skip_single_fixed:
-        configs += [(f"single_fixed@{v}", "single_fixed", [v]) for v in values]
-    configs += [(d + args.tag, d, values)
-                for d in args.distributions.split(",") if d]
+        configs += [(f"single_fixed@{v}{args.tag}", "single_fixed", [v])
+                    for v in values]
+    configs += [(d + args.tag, d, values) for d in dists]
 
     results = []
     try:
@@ -149,7 +160,11 @@ def main() -> int:
     payload = {
         "dataset": args.dataset, "values": values, "niter": args.niter,
         "batch_size": args.batch_size, "seeds": args.seeds,
-        "net_type": args.net_type, "update_type": args.update_type,
+        "seed_start": args.seed_start, "net_type": args.net_type,
+        "update_type": args.update_type,
+        "sched_temperature": args.sched_temperature,
+        "distributions": dists, "tag": args.tag,
+        "rescale_batch_by_area": args.rescale_batch_by_area,
         "results": results,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -168,3 +168,33 @@ def test_scheduler_knob_flags():
                 "--pool_backward", "pallas"])
     assert cfg.sched.temperature == 0.25 and cfg.sched.ema == 0.8
     assert cfg.model.pool_backward == "pallas"
+
+
+def test_protocol_mismatch_warning():
+    """Review r2: stats sidecar records the data protocol (val_tiles/
+    bands/extra_bands) that produced the checkpoint — evaluating under a
+    different protocol must warn loudly (scores incomparable / val split
+    possibly overlapping training tiles), while staying non-fatal (a
+    deliberate protocol change remains possible)."""
+    from dynseg.cli import _warn_protocol_mismatch
+
+    stats = {"val_tiles": "11,15", "bands": "rgbir", "extra_bands": ""}
+
+    # matching protocol: silent
+    cfg = _cfg(["--val_tiles", "11,15", "--bands", "rgbir"])
+    msgs = []
+    _warn_protocol_mismatch(cfg, stats, msgs.append)
+    assert not msgs, msgs
+
+    # differing split + bands: one warning per mismatched knob
+    cfg = _cfg(["--bands", "rgb"])
+    msgs = []
+    _warn_protocol_mismatch(cfg, stats, msgs.append)
+    assert sum("WARNING" in m for m in msgs) == 2
+    assert any("--val_tiles" in m and "11,15" in m for m in msgs)
+    assert any("--bands" in m and "rgb" in m for m in msgs)
+
+    # pre-provenance sidecar (keys absent) + default flags: silent
+    msgs = []
+    _warn_protocol_mismatch(_cfg([]), {}, msgs.append)
+    assert not msgs, msgs
