@@ -89,6 +89,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "concentrates mass on the best-scoring scales")
     p.add_argument("--sched_ema", type=float, default=0.9,
                    help="EMA factor for per-scale score updates")
+    p.add_argument("--sched_favor", default="high", choices=["high", "low"],
+                   help="multinomial sign convention (parity-bracket knob, "
+                        "SURVEY.md §3.4): 'high' exploits well-performing "
+                        "contexts (paper reading, measured winner on the "
+                        "texture bracket); 'low' trains struggling contexts "
+                        "harder")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--val_tiles", default="",
                    help="ISPRS named validation split: comma-separated tile "
@@ -197,6 +203,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             update_type=args.update_type,
             temperature=args.sched_temperature,
             ema=args.sched_ema,
+            favor_high_score=(args.sched_favor == "high"),
         ),
         train=TrainConfig(
             learning_rate=args.learning_rate,

@@ -168,6 +168,9 @@ def test_scheduler_knob_flags():
                 "--pool_backward", "pallas"])
     assert cfg.sched.temperature == 0.25 and cfg.sched.ema == 0.8
     assert cfg.model.pool_backward == "pallas"
+    assert cfg.sched.favor_high_score  # default: paper reading
+    cfg = _cfg(["--sched_favor", "low"])
+    assert not cfg.sched.favor_high_score
 
 
 def test_protocol_mismatch_warning():
