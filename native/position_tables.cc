@@ -17,6 +17,7 @@
 // very large tables.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <random>
 #include <thread>
@@ -26,6 +27,9 @@ extern "C" {
 
 // Phase 1: per-class pixel counts. Labels outside [0, num_classes) —
 // including IGNORE (255) — are skipped.
+// DYNSEG_NATIVE_THREADS overrides the thread count (and the small-input
+// single-thread shortcut) so the multi-threaded path is exercisable on
+// hosts where hardware_concurrency()==1 (this box) or inputs are small.
 void count_class_pixels(const int32_t* masks, int64_t t, int64_t h, int64_t w,
                         int32_t num_classes, int64_t* out_counts) {
   const int64_t n = t * h * w;
@@ -35,6 +39,11 @@ void count_class_pixels(const int32_t* masks, int64_t t, int64_t h, int64_t w,
   int64_t n_threads = hw == 0 ? 1 : static_cast<int64_t>(hw);
   if (n_threads > 16) n_threads = 16;
   if (n < (int64_t)1 << 20) n_threads = 1;
+  if (const char* env = std::getenv("DYNSEG_NATIVE_THREADS")) {
+    const long forced = std::strtol(env, nullptr, 10);
+    if (forced >= 1 && forced <= 64) n_threads = forced;
+  }
+  if (n_threads > n && n > 0) n_threads = n;
 
   std::vector<std::vector<int64_t>> partial(
       n_threads, std::vector<int64_t>(num_classes, 0));

@@ -24,11 +24,28 @@ def test_tables_match_numpy(rng):
 
 
 def test_large_volume_counts(rng):
-    # >1M pixels exercises the multithreaded counting path
+    # >1M pixels takes the multithreaded-counting branch when the host has
+    # cores (on 1-vCPU hosts hardware_concurrency caps it back to 1 —
+    # see test_forced_multithread_counts for the cross-thread parity check)
     masks = rng.integers(0, 3, size=(1, 1200, 1000)).astype(np.int32)
     tables = native.build_position_tables(masks, 3)
     counts = np.bincount(masks.ravel(), minlength=3)
     assert [len(t) for t in tables] == list(counts)
+
+
+@pytest.mark.parametrize("threads", ["4", "7"])
+def test_forced_multithread_counts(rng, monkeypatch, threads):
+    # DYNSEG_NATIVE_THREADS forces the partial-counts merge path even on a
+    # single-core host / small input (chunk boundaries land mid-raster for
+    # the odd thread count): counts and tables must match numpy exactly.
+    monkeypatch.setenv("DYNSEG_NATIVE_THREADS", threads)
+    masks = rng.integers(0, 4, size=(2, 53, 41)).astype(np.int32)
+    masks[1, 10:12] = 255  # IGNORE must be skipped in every chunk
+    tables = native.build_position_tables(masks, 4)
+    for c in range(4):
+        t, r, cc = np.nonzero(masks == c)
+        ref = np.stack([t, r, cc], axis=1).astype(np.int32)
+        np.testing.assert_array_equal(tables[c], ref)
 
 
 def test_shuffle_is_permutation(rng):
