@@ -355,6 +355,18 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
                 f"{sorted(cfg.sched.values)}; resume with the original "
                 f"--values or train fresh in a new --output_path"
             )
+        if scheduler.semantics_adopted:
+            # Same class as changed --values: the score table's meaning
+            # (update_type / sign convention) cannot change mid-trajectory.
+            detail = ", ".join(
+                f"{k}: checkpoint={c!r} vs CLI={u!r}"
+                for k, (c, u) in scheduler.semantics_adopted.items()
+            )
+            raise ValueError(
+                f"--resume: scheduler semantics differ from the checkpoint "
+                f"({detail}); resume with the original --update_type/"
+                f"--sched_favor or train fresh in a new --output_path"
+            )
         log(f"resumed from iteration {start_iter}")
     else:
         state = trainer.init_state(jax.random.key(cfg.train.seed))
@@ -421,6 +433,13 @@ def _reconcile_scales(cfg: Config, scheduler, log) -> Config:
     the CLI may derive different inference scales from a stale --values.
     Voting at untrained scales is silently wrong — default to the
     checkpoint's scales unless --test_scales was explicit (VERDICT r1 #7)."""
+    if scheduler.semantics_adopted:
+        detail = ", ".join(
+            f"{k}={c!r} (CLI had {u!r})"
+            for k, (c, u) in scheduler.semantics_adopted.items()
+        )
+        log(f"WARNING: adopting the checkpoint's scheduler semantics — "
+            f"{detail}; top-K scale ranking follows the trained convention")
     ckpt_scales = sorted(int(v) for v in scheduler.values)
     if set(ckpt_scales) == set(int(s) for s in cfg.infer.scales):
         return cfg

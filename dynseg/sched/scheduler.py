@@ -23,6 +23,7 @@ paper's reading); False inverts to spend steps on struggling contexts.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -42,6 +43,10 @@ class ScaleScheduler:
         self._scores: Dict[int, Optional[float]] = {v: None for v in self.values}
         self._counts: Dict[int, int] = {v: 0 for v in self.values}
         self._cycle = 0
+        # Set by load_state_dict when the checkpoint's score SEMANTICS
+        # (update_type / favor_high_score — they decide how scores map to
+        # fitness) differ from the caller's cfg: {field: (ckpt, cli)}.
+        self.semantics_adopted: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------ #
     # selection
@@ -125,6 +130,11 @@ class ScaleScheduler:
             "counts": {str(k): v for k, v in self._counts.items()},
             "cycle": self._cycle,
             "rng_state": self.rng.bit_generator.state,
+            # Score-interpretation semantics: without them a restored
+            # table can be ranked under the WRONG convention (e.g. a
+            # loss-trained table read as accuracies flips best_scales).
+            "update_type": self.cfg.update_type,
+            "favor_high_score": self.cfg.favor_high_score,
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -137,6 +147,21 @@ class ScaleScheduler:
         self.values = list(self._scores)
         self._cycle = int(state["cycle"])
         self.rng.bit_generator.state = state["rng_state"]
+        # Adopt the checkpoint's score semantics for the same reason the
+        # values are adopted: the TABLE defines what the scores mean.
+        # Callers decide how loud to be (warn at inference, error on
+        # --resume — cli.py). Pre-r2 checkpoints lack the keys: no-op.
+        self.semantics_adopted = {}
+        adopt = {}
+        for field in ("update_type", "favor_high_score"):
+            if field in state:
+                ckpt_val = state[field]
+                cli_val = getattr(self.cfg, field)
+                if ckpt_val != cli_val:
+                    self.semantics_adopted[field] = (ckpt_val, cli_val)
+                    adopt[field] = ckpt_val
+        if adopt:
+            self.cfg = dataclasses.replace(self.cfg, **adopt)
 
     def summary(self) -> str:
         """One-line distribution state for the training printout

@@ -501,7 +501,21 @@ def test_resume_with_changed_values_rejected(tmp_path):
     with pytest.raises(ValueError, match="original --values"):
         run_training(cfg2, log=lambda *_: None)
 
-    # same values resume still works
+    # changed score semantics are the same class of error (review r2):
+    # the table's meaning can't flip mid-trajectory
+    args4 = build_argparser().parse_args(
+        flags + ["--values", "9", "--resume", "--update_type", "loss"])
+    cfg4 = _shrink(config_from_args(args4), niter=8)
+    with pytest.raises(ValueError, match="scheduler semantics"):
+        run_training(cfg4, log=lambda *_: None)
+
+    args5 = build_argparser().parse_args(
+        flags + ["--values", "9", "--resume", "--sched_favor", "low"])
+    cfg5 = _shrink(config_from_args(args5), niter=8)
+    with pytest.raises(ValueError, match="scheduler semantics"):
+        run_training(cfg5, log=lambda *_: None)
+
+    # same values + same semantics resume still works
     args3 = build_argparser().parse_args(
         flags + ["--values", "9", "--resume"])
     cfg3 = _shrink(config_from_args(args3), niter=8)

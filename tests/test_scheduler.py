@@ -101,5 +101,46 @@ def test_state_dict_roundtrip():
     st = a.state_dict()
     b = ScaleScheduler(cfg, seed=999)
     b.load_state_dict(st)
+    assert not b.semantics_adopted
     np.testing.assert_allclose(a.probabilities(), b.probabilities())
     assert [a.select() for _ in range(10)] == [b.select() for _ in range(10)]
+
+
+def test_restore_adopts_checkpoint_semantics():
+    """Review r2: a table trained under one score convention must be
+    RANKED under that convention after restore, even when the restoring
+    CLI's defaults differ — else best_scales()/top-K fusion silently
+    inverts (favor) or misreads losses as accuracies (update_type)."""
+    trained = SchedulerConfig(distribution_type="multinomial",
+                              values=(25, 65), update_type="loss",
+                              favor_high_score=True)
+    a = ScaleScheduler(trained, seed=0)
+    for _ in range(20):  # 25 px has LOW loss -> best under loss/high
+        a.update(25, loss=0.1, acc=0.0)
+        a.update(65, loss=2.0, acc=0.0)
+    assert a.best_scales(1) == [25]
+
+    cli_default = SchedulerConfig(distribution_type="multinomial",
+                                  values=(25, 65), update_type="acc",
+                                  favor_high_score=True)
+    b = ScaleScheduler(cli_default, seed=1)
+    b.load_state_dict(a.state_dict())
+    # under the WRONG (acc) reading, score 2.0 > 0.1 would rank 65 first
+    assert b.best_scales(1) == [25]
+    assert b.semantics_adopted == {"update_type": ("loss", "acc")}
+    assert b.cfg.update_type == "loss"
+
+    # favor flip is likewise adopted and reported
+    low = ScaleScheduler(
+        SchedulerConfig(distribution_type="multinomial", values=(25, 65),
+                        update_type="loss", favor_high_score=False), seed=2)
+    low.load_state_dict(a.state_dict())
+    assert low.semantics_adopted["favor_high_score"] == (True, False)
+    assert low.best_scales(1) == [25]
+
+    # pre-r2 checkpoints without the keys: nothing adopted
+    legacy = a.state_dict()
+    del legacy["update_type"], legacy["favor_high_score"]
+    c = ScaleScheduler(cli_default, seed=3)
+    c.load_state_dict(legacy)
+    assert not c.semantics_adopted and c.cfg.update_type == "acc"
