@@ -71,6 +71,16 @@ def _read_image(path: str) -> np.ndarray:
         return np.asarray(im)
 
 
+def _read_raster(path: str) -> np.ndarray:
+    """One raster reader for every loader: .npy arrays (any band count /
+    dtype) or PIL-decodable images. Case-insensitive extension check —
+    the per-loader copies of this pattern had drifted on exactly that
+    (review r2: IMAGE.NPY worked in predict/GRSS but crashed in coffee)."""
+    if path.lower().endswith(".npy"):
+        return np.load(path)
+    return _read_image(path)
+
+
 def _isprs_rgb_to_classes(rgb: np.ndarray) -> np.ndarray:
     """Map ISPRS color-coded ground truth to class ids."""
     out = np.full(rgb.shape[:2], IGNORE_LABEL, dtype=np.int32)
@@ -278,7 +288,8 @@ def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
             if "mask" not in os.path.basename(f).lower()
             and f.lower().endswith((".tif", ".tiff", ".png", ".jpg", ".npy"))
         ]
-        assert img_files, f"no image found under {root}"
+        if not img_files:
+            raise FileNotFoundError(f"no image found under {root}")
         imgs, masks = [], []
         for f in img_files:
             base, ext = os.path.splitext(f)
@@ -290,13 +301,18 @@ def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
                 ),
                 None,
             )
-            assert mask_file, f"no mask for {f}"
-            im = np.load(f) if f.endswith(".npy") else _read_image(f)
-            mk = np.load(mask_file) if mask_file.endswith(".npy") else _read_image(mask_file)
+            if mask_file is None:
+                raise FileNotFoundError(f"no mask for {f}")
+            im = _read_raster(f)
+            mk = _read_raster(mask_file)
             if mk.ndim == 3:
                 mk = (mk[..., 1] > 127).astype(np.int32)  # green = coffee
+            elif mk.max(initial=0) > 1:
+                mk = (mk > 127).astype(np.int32)  # image-valued mask
             else:
-                mk = (mk > 127).astype(np.int32)
+                # already binary class ids (the .npy convention; review
+                # r2: thresholding 0/1 at 127 silently erased the class)
+                mk = mk.astype(np.int32)
             imgs.append(im.astype(np.float32))
             masks.append(mk)
         return imgs, masks
@@ -375,7 +391,7 @@ def _find_height_raster(path: str, kind: str, tile_id: str, dataset: str):
 
 
 def _read_height(f: str) -> np.ndarray:
-    arr = np.load(f) if f.lower().endswith(".npy") else _read_image(f)
+    arr = _read_raster(f)
     if arr.ndim == 3:  # some nDSM distributions are 3-identical-channel jpgs
         arr = arr[..., 0]
     return arr.astype(np.float32)
@@ -432,9 +448,17 @@ def _load_isprs(path: str, dataset: str, image_dir: str, suffix: str,
     if all(i is None for i in ids):
         # Filenames carry no recognizable tile ids (non-standard dumps):
         # fall back to a sorted 75/25 split rather than failing.
+        if len(loaded) < 2:
+            # review r2: the old fallback made the single tile BOTH train
+            # and test — silently optimistic (train==test) metrics.
+            raise FileNotFoundError(
+                f"only {len(loaded)} tile under {path} and its filename "
+                f"carries no ISPRS tile id — cannot form a disjoint "
+                f"train/validation split; add tiles or use the published "
+                f"naming (top_mosaic_09cm_areaNN / top_potsdam_R_C)")
         n_train = max(1, int(len(loaded) * 0.75))
         tr_idx = list(range(n_train))
-        te_idx = list(range(n_train, len(loaded))) or [len(loaded) - 1]
+        te_idx = list(range(n_train, len(loaded)))
     else:
         val = tuple(val_tiles) or default_val
         te_idx = [i for i, tid in enumerate(ids) if tid in val]
@@ -502,8 +526,8 @@ def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
         if not img or not lab:
             raise FileNotFoundError(f"missing {stem} pair under {path!r}")
 
-        def read(f):  # .npy supports >3-band imagery (PNG/TIFF cap at RGB+A)
-            return np.load(f) if f.lower().endswith(".npy") else _read_image(f)
+        # .npy supports >3-band imagery (PNG/TIFF cap at RGB+A)
+        read = _read_raster
 
         im = read(img[0]).astype(np.float32)
         mk = read(lab[0]).astype(np.int32)
@@ -545,7 +569,7 @@ def load_unlabeled(path: str, pad_to_multiple: int = 1
 def load_rasters(files: List[str], pad_to_multiple: int = 1
                  ) -> Tuple[TileSet, List[str]]:
     def load_one(f: str) -> np.ndarray:
-        im = np.load(f) if f.lower().endswith(".npy") else _read_image(f)
+        im = _read_raster(f)
         if im.ndim == 2:
             im = im[..., None]
         return im.astype(np.float32)

@@ -49,9 +49,12 @@ class BalancedPatchSampler:
         million positions per class are statistically equivalent for
         training). The subsample is drawn once per sampler; epoch
         reshuffles permute within it."""
-        self.tiles = tiles
+        # NOTE: deliberately no self.tiles — storing the TileSet would
+        # pin the full host pixel arrays (GBs at Potsdam scale) for the
+        # sampler's lifetime, and only the position tables are needed
+        # after __init__ (review r2).
         self.num_classes = num_classes
-        self.pad = pad
+        self.pad = pad  # padded-coordinate convention marker (unused)
         self.balanced = balanced
         self.rng = np.random.default_rng(seed)
 

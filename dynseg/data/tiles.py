@@ -94,6 +94,13 @@ def pack_tiles(
     for t, (im, mk) in enumerate(zip(images, masks)):
         h, w = im.shape[:2]
         assert mk.shape[:2] == (h, w), (im.shape, mk.shape)
+        if im.shape[2] != c:
+            # review r2: without this, a mixed-channel batch either dies
+            # in an opaque numpy broadcast error or (C=1 vs c>1) silently
+            # channel-broadcasts a grayscale tile into RGB normalization.
+            raise ValueError(
+                f"tile {t} has {im.shape[2]} channels but tile 0 has {c}; "
+                f"all rasters in one run must share a band count")
         out_im[t, :h, :w] = im.astype(np.float32)
         out_mk[t, :h, :w] = mk.astype(np.int32)
         valid[t] = (h, w)
@@ -104,9 +111,21 @@ def compute_stats(ts: TileSet) -> Tuple[np.ndarray, np.ndarray]:
     """Per-channel mean/std over valid (non-ignored) pixels of all tiles
     ([R] dynamic.py:≈compute_image_mean; SURVEY.md C3)."""
     valid = ts.masks != IGNORE_LABEL  # (T,H,W)
-    px = ts.images[valid]  # (N, C)
-    mean = px.mean(axis=0)
-    std = px.std(axis=0)
+    # Accumulate per tile: boolean advanced indexing over the whole pack
+    # would materialize a dataset-sized copy (review r2 — full-res
+    # Potsdam would transiently double host RAM).
+    c = ts.images.shape[-1]
+    n = 0
+    s = np.zeros(c, dtype=np.float64)
+    sq = np.zeros(c, dtype=np.float64)
+    for t in range(ts.images.shape[0]):
+        px = ts.images[t][valid[t]].astype(np.float64)  # (n_t, C)
+        n += px.shape[0]
+        s += px.sum(axis=0)
+        sq += (px * px).sum(axis=0)
+    mean = s / max(n, 1)
+    var = np.maximum(sq / max(n, 1) - mean * mean, 0.0)
+    std = np.sqrt(var)
     std = np.where(std < 1e-6, 1.0, std)
     ts.mean, ts.std = mean.astype(np.float32), std.astype(np.float32)
     return ts.mean, ts.std

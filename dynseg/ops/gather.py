@@ -30,11 +30,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _is_tpu() -> bool:
+def is_tpu_backend() -> bool:
+    """Single source of truth for 'can Mosaic lower here' (this box's
+    tunneled chip reports the provisional 'axon' platform name) — shared
+    by every Pallas dispatch decision so a platform-string change can't
+    silently split them (review r2)."""
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+_is_tpu = is_tpu_backend
 
 
 def dihedral_batch(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:

@@ -95,11 +95,16 @@ def _gather_kernel(
     rt = _row_tile(dtype)
     rows = _rows_for(size, dtype)
     lanes = _lanes_for(size * stride)
-    # The DMA start is the ALIGNED-DOWN offset, so a raw offset is safe up
-    # to (limit for the aligned start) + (tile - 1); clamping tighter
-    # would corrupt legitimate positions near the bottom/right edges.
-    max_row0 = total_rows - rows + rt - 1
-    max_l0 = total_lanes - lanes + _LANE - 1
+    # The DMA start is the ALIGNED-DOWN offset, so the raw offset is safe
+    # up to (largest aligned start with the full window in bounds)
+    # + (tile - 1). The aligned-start limit must itself be aligned DOWN:
+    # total_rows - rows is generally NOT a multiple of rt, and clamping
+    # to it + rt - 1 would let the aligned start land past it (review
+    # r2: raw-HBM over-read of up to rt-1 rows). Same form for lanes
+    # (there total_lanes - lanes is usually _LANE-aligned already, making
+    # the floor a no-op — but by construction, not by contract).
+    max_row0 = (total_rows - rows) // rt * rt + rt - 1
+    max_l0 = (total_lanes - lanes) // _LANE * _LANE + _LANE - 1
 
     def offsets(b):
         # Clamp to the DMA-safe ranges: this kernel reads raw HBM

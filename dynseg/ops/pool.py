@@ -112,26 +112,31 @@ def _bwd_kernel(H: int, W: int, window: int,
 def _channel_block(HW: int, C: int) -> int:
     """Largest channel block (multiple of 8, <=128, divides C) whose
     (HW, CB) f32 block stays within a ~1.4 MB VMEM budget (x, y, g, dx
-    + pallas double-buffering ~ 10 concurrent blocks < 16 MB VMEM)."""
-    cb = min(C, 128)
-    while cb > 8 and (HW * cb * 4 > 1_400_000 or C % cb):
-        cb //= 2
-    return cb
+    + pallas double-buffering ~ 10 concurrent blocks < 16 MB VMEM).
+    Returns 0 when NO block satisfies all three constraints (review r2:
+    the old halving loop could bottom out over-budget, or at a
+    non-multiple-of-8 like 24 -> 12, and supported() then dispatched a
+    kernel that blows VMEM instead of falling back to the XLA VJP)."""
+    for cb in range(min(C, 128), 0, -8):
+        if C % cb == 0 and HW * cb * 4 <= 1_400_000:
+            return cb
+    return 0
 
 
 def pallas_pool_bwd_supported(shape: Tuple[int, ...], dtype,
                               window: int = 3) -> bool:
-    # Mosaic lowering needs a TPU (this box's tunneled chip reports the
-    # experimental "axon" platform); everything else takes the XLA VJP.
-    if jax.default_backend() not in ("tpu", "axon"):
+    # Mosaic lowering needs a TPU; everything else takes the XLA VJP.
+    from dynseg.ops.gather import is_tpu_backend
+    if not is_tpu_backend():
         return False
     if window % 2 != 1:
         return False  # _offsets assumes a symmetric (odd) SAME window
     if jnp.dtype(dtype) != jnp.float32 or len(shape) != 4:
         return False
     _, h, w, c = shape
-    cb = _channel_block(h * w, c)
-    return c % cb == 0 and c % 8 == 0
+    if c % 8 != 0:
+        return False
+    return _channel_block(h * w, c) > 0
 
 
 def pallas_pool_bwd(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
@@ -144,6 +149,9 @@ def pallas_pool_bwd(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
     b, h, w, c = x.shape
     hw = h * w
     cb = _channel_block(hw, c)
+    assert cb > 0, (
+        f"pallas_pool_bwd: no channel block of {c} fits the VMEM budget "
+        f"for HW={hw}; gate calls on pallas_pool_bwd_supported()")
     assert c % cb == 0, (c, cb)
     x2 = x.reshape(b, hw, c)
     y2 = y.reshape(b, hw, c)
