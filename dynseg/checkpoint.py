@@ -23,13 +23,42 @@ from dynseg.train import TrainState, Trainer
 class CheckpointManager:
     def __init__(self, output_path: str, max_to_keep: int = 3):
         self.dir = os.path.abspath(os.path.join(output_path, "checkpoints"))
+        self.max_to_keep = max_to_keep
         os.makedirs(self.dir, exist_ok=True)
-        self.mgr = ocp.CheckpointManager(
+        self.mgr = self._make_mgr()
+
+    def _make_mgr(self) -> ocp.CheckpointManager:
+        return ocp.CheckpointManager(
             self.dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=self.max_to_keep, create=True
             ),
         )
+
+    def reset_for_fresh_run(self) -> bool:
+        """Delete checkpoints left by a PREVIOUS run in this output_path.
+
+        A fresh (non-resume) training run must not inherit them: orbax
+        silently refuses saves at steps <= an older run's latest (so the
+        new run's periodic checkpoints are no-ops until it outlives the
+        old one, and validate_test would score the OLD weights), and a
+        stale best.json/best/ gates --keep_best against a metric the new
+        run never produced (review r2). Returns True if state was
+        removed — the caller should log it."""
+        import shutil
+
+        had_best = (self.best_record() is not None
+                    or os.path.isdir(os.path.join(self.dir, "best")))
+        if self.mgr.latest_step() is None and not had_best:
+            return False
+        self.mgr.close()
+        if hasattr(self, "_best"):
+            self._best.close()
+            del self._best
+        shutil.rmtree(self.dir, ignore_errors=True)
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = self._make_mgr()
+        return True
 
     def save(self, it: int, state: TrainState, scheduler: ScaleScheduler) -> None:
         sched_state = scheduler.state_dict()
@@ -124,9 +153,11 @@ class CheckpointManager:
         restores the highest-validation-metric checkpoint (save_best)."""
         mgr = self._best_mgr() if best else self.mgr
         step = mgr.latest_step() if step is None else step
-        assert step is not None, (
-            f"no {'best ' if best else ''}checkpoint under {self.dir}"
-        )
+        if step is None:
+            # user-facing error; not assert (vanishes under python -O)
+            raise FileNotFoundError(
+                f"no {'best ' if best else ''}checkpoint under {self.dir}"
+            )
         restored = mgr.restore(
             step,
             args=ocp.args.Composite(

@@ -322,6 +322,10 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     trainer = Trainer(cfg, train_tiles)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
     ckpt = CheckpointManager(cfg.train.output_path)
+    if not cfg.train.resume and ckpt.reset_for_fresh_run():
+        log("WARNING: cleared checkpoints from a previous run in this "
+            "--output_path (a fresh run cannot extend them; pass --resume "
+            "to continue the previous run instead)")
     ckpt.save_stats({
         "mean": train_tiles.mean, "std": train_tiles.std,
         "num_input_bands": cfg.model.num_input_bands,

@@ -37,16 +37,19 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and os.path.exists(
-            os.path.join(_NATIVE_DIR, "Makefile")
-        ):
+        if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+            # Run make UNCONDITIONALLY: its dependency tracking rebuilds
+            # when position_tables.cc is newer than the .so and is a
+            # near-free no-op otherwise. Gating on .so-missing silently
+            # served stale binaries after source edits (review r2).
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
                     capture_output=True, timeout=120, check=True,
                 )
             except Exception:
-                return None
+                if not os.path.exists(_SO_PATH):
+                    return None  # no library at all; else use existing
         if not os.path.exists(_SO_PATH):
             return None
         try:

@@ -75,6 +75,11 @@ class ScaleScheduler:
         fit = np.array(
             [self._fitness(v) for v in self.values], dtype=np.float64
         )
+        # A diverged run can push a score to inf (loss overflow) — under
+        # favor_high_score=False that makes fitness inf and inf/inf = NaN
+        # probabilities, crashing rng.choice mid-run (review r2). Treat
+        # non-finite fitness like unvisited: it gets the mean of the rest.
+        fit = np.where(np.isfinite(fit), fit, np.nan)
         if np.all(np.isnan(fit)):
             return np.full(len(self.values), 1.0 / len(self.values))
         mean_fit = np.nanmean(fit)
@@ -114,6 +119,11 @@ class ScaleScheduler:
             metric = acc if bacc is None else bacc
         else:
             metric = acc if self.cfg.update_type == "acc" else loss
+        if not np.isfinite(metric):
+            # Divergence feedback (inf/nan loss) must not poison the EMA
+            # permanently — count the visit but keep the previous score.
+            self._counts[scale] += 1
+            return
         prev = self._scores[scale]
         ema = self.cfg.ema
         self._scores[scale] = (

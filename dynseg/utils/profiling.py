@@ -4,7 +4,9 @@ The reference's only observability is wall-clock prints; here:
   * `trace(dir)` — context manager around jax.profiler for device
     traces viewable in XProf/TensorBoard;
   * `Meter` — rolling patches/sec / Mpx/s meter (the BASELINE.json
-    tracked metrics), used by the train loop and bench.
+    tracked metrics). Library utility for embedders; the CLI train loop
+    and bench.py time their own intervals inline (review r2: this
+    docstring previously claimed they use Meter — they do not).
 """
 
 from __future__ import annotations
@@ -31,7 +33,9 @@ def trace(trace_dir: Optional[str]) -> Iterator[None]:
 
 class Meter:
     """Rolling throughput meter: count units (patches, pixels) between
-    reads; time excludes everything before the first add()."""
+    reads. The FIRST add() only starts the clock — its units were
+    produced before timing began, and counting them against zero elapsed
+    inflated the early rate (review r2)."""
 
     def __init__(self) -> None:
         self.reset()
@@ -43,6 +47,7 @@ class Meter:
     def add(self, units: int) -> None:
         if self._t0 is None:
             self._t0 = time.perf_counter()
+            return
         self._units += units
 
     @property

@@ -13,8 +13,12 @@
 //                           table_ptrs[num_classes])  -> each table is
 //      (counts[c], 3) int32 row-major, filled in raster order.
 //
-// A separate epoch-shuffle helper keeps the hot shuffle out of numpy for
-// very large tables.
+// A separate epoch-shuffle helper is AVAILABLE for very large tables, but
+// the production sampler deliberately shuffles with its checkpointed numpy
+// Generator (dynseg/data/sampler.py) — switching streams would break
+// resume reproducibility (mt19937_64 ordering differs from numpy's
+// Philox/PCG state saved in checkpoints). Wire this in only with its own
+// checkpointed seed counter.
 
 #include <cstdint>
 #include <cstdlib>

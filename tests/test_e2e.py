@@ -3,6 +3,7 @@ through the real CLI path and demand high F1; checkpoint/resume
 round-trips through orbax."""
 
 import dataclasses
+import json
 import os
 
 import jax
@@ -476,6 +477,40 @@ def test_testing_net_type_mismatch_is_friendly(tmp_path):
                                        net_type="dilated_icpr_rate6"))
     with pytest.raises(ValueError, match="pass --net_type dilated_grsl"):
         run_testing(wrong, log=lambda *_: None)
+
+
+def test_fresh_run_clears_stale_checkpoints(tmp_path):
+    """Review r2: a non-resume run into an output_path holding a previous
+    run's checkpoints inherited them — orbax refuses saves at steps <= the
+    old run's latest (silent no-op checkpoints) and stale best.json gated
+    --keep_best against a metric the new run never produced."""
+    from dynseg.checkpoint import CheckpointManager
+
+    flags = [
+        "--operation", "training", "--dataset", "synthetic",
+        "--output_path", str(tmp_path), "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed", "--values", "9",
+        "--window_batch", "32", "--no_prediction_maps",
+    ]
+    # Run A: 8 iters, checkpoint at 8, plant a high stale best metric.
+    args = build_argparser().parse_args(flags)
+    cfg = _shrink(config_from_args(args), niter=8)
+    run_training(cfg, log=lambda *_: None)
+    ck = CheckpointManager(str(tmp_path))
+    assert ck.latest_step() == 8
+    with open(os.path.join(str(tmp_path), "checkpoints", "best.json"),
+              "w") as f:
+        json.dump({"metric": 999.0, "step": 8}, f)
+
+    # Run B: fresh (no --resume), only 4 iters — must clear A's state.
+    msgs = []
+    cfg2 = _shrink(config_from_args(build_argparser().parse_args(flags)),
+                   niter=4)
+    run_training(cfg2, log=lambda m, **k: msgs.append(str(m)))
+    assert any("cleared checkpoints from a previous run" in m for m in msgs)
+    ck2 = CheckpointManager(str(tmp_path))
+    assert ck2.latest_step() == 4          # B's own checkpoint, not A's 8
+    assert ck2.best_record() is None       # stale best gate removed
 
 
 def test_resume_with_changed_values_rejected(tmp_path):

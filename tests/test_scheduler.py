@@ -93,6 +93,24 @@ def test_no_starvation():
     assert p[1] > 0.25, p  # ≈ 0.487/(0.487+0.985) ≈ 0.33, never ~0
 
 
+def test_nonfinite_feedback_never_poisons_distribution():
+    """Review r2: a diverged (inf/nan) loss under favor_high_score=False
+    made fitness inf and probabilities NaN, crashing rng.choice."""
+    cfg = SchedulerConfig(distribution_type="multinomial", values=(25, 65),
+                          update_type="loss", favor_high_score=False)
+    s = ScaleScheduler(cfg, seed=0)
+    s.update(25, loss=0.5, acc=0.0)
+    s.update(65, loss=float("inf"), acc=0.0)   # divergence feedback
+    p = np.asarray(s.probabilities())
+    assert np.all(np.isfinite(p)) and abs(p.sum() - 1.0) < 1e-9
+    assert s.select() in (25, 65)
+    # inf never entered the EMA: a later finite update recovers cleanly
+    s.update(65, loss=float("nan"), acc=0.0)
+    s.update(65, loss=1.0, acc=0.0)
+    assert np.isfinite(s._scores[65]) and s._scores[65] == 1.0
+    assert np.all(np.isfinite(np.asarray(s.probabilities())))
+
+
 def test_state_dict_roundtrip():
     cfg = SchedulerConfig(distribution_type="multinomial", values=(25, 35))
     a = ScaleScheduler(cfg, seed=3)
