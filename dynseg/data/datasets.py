@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -263,7 +263,8 @@ def _warn_speculative(dataset: str, layout: str) -> None:
           f"verified against the reference distribution", file=sys.stderr)
 
 
-def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
+def load_coffee(path: str, fold: int, test_only: bool = False
+                ) -> Tuple[Optional[TileSet], TileSet]:
     """Brazilian Coffee scenes: 5-fold cross-county protocol — train on 4
     counties, test on the held-out one (SURVEY.md C2a).
 
@@ -317,6 +318,10 @@ def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
             masks.append(mk)
         return imgs, masks
 
+    te_i, te_m = load_county(test_county)
+    test = pack_tiles(te_i, te_m)
+    if test_only:  # sidecar-stats restore: skip the 4 training counties
+        return None, test
     tr_i: List[np.ndarray] = []
     tr_m: List[np.ndarray] = []
     for c in counties:
@@ -325,8 +330,7 @@ def load_coffee(path: str, fold: int) -> Tuple[TileSet, TileSet]:
         i, m = load_county(c)
         tr_i += i
         tr_m += m
-    te_i, te_m = load_county(test_county)
-    train, test = pack_tiles(tr_i, tr_m), pack_tiles(te_i, te_m)
+    train = pack_tiles(tr_i, tr_m)
     compute_stats(train)
     test.mean, test.std = train.mean, train.std
     return train, test
@@ -400,10 +404,14 @@ def _read_height(f: str) -> np.ndarray:
 def _load_isprs(path: str, dataset: str, image_dir: str, suffix: str,
                 gt_dir: str, tile_id_fn, default_val: Tuple[str, ...],
                 val_tiles: Tuple[str, ...] = (),
-                extra_bands: Tuple[str, ...] = ()) -> Tuple[TileSet, TileSet]:
+                extra_bands: Tuple[str, ...] = (),
+                test_only: bool = False) -> Tuple[Optional[TileSet], TileSet]:
     """Shared ISPRS loader: pair image tiles with ground truth, attach
     optional height channels, and split train/validation by NAMED tile
-    ids (the published protocol) — not by sorted order."""
+    ids (the published protocol) — not by sorted order. test_only skips
+    decoding the training tiles entirely (validate_test with a stats
+    sidecar needs neither their pixels nor their stats — review r2) and
+    returns (None, test) with test.mean/std unset."""
     imgs = sorted(glob.glob(os.path.join(path, image_dir, "*.tif")))
     if not imgs:
         raise FileNotFoundError(f"no tiles under {os.path.join(path, image_dir)}")
@@ -442,23 +450,23 @@ def _load_isprs(path: str, dataset: str, image_dir: str, suffix: str,
             im = np.concatenate([im, h[..., None]], axis=-1)
         return im, _isprs_rgb_to_classes(_read_image(gt))
 
-    # Threaded decode (see load_unlabeled): ISPRS tiles are ~100 Mpx TIFFs.
-    loaded = list(_decode_pool().map(load_pair, pairs))
+    # Split is decided BEFORE decoding — ids come from filenames, so
+    # test_only never pays for training-tile decode.
     ids = [p[0] for p in pairs]
     if all(i is None for i in ids):
         # Filenames carry no recognizable tile ids (non-standard dumps):
         # fall back to a sorted 75/25 split rather than failing.
-        if len(loaded) < 2:
+        if len(pairs) < 2:
             # review r2: the old fallback made the single tile BOTH train
             # and test — silently optimistic (train==test) metrics.
             raise FileNotFoundError(
-                f"only {len(loaded)} tile under {path} and its filename "
+                f"only {len(pairs)} tile under {path} and its filename "
                 f"carries no ISPRS tile id — cannot form a disjoint "
                 f"train/validation split; add tiles or use the published "
                 f"naming (top_mosaic_09cm_areaNN / top_potsdam_R_C)")
-        n_train = max(1, int(len(loaded) * 0.75))
+        n_train = max(1, int(len(pairs) * 0.75))
         tr_idx = list(range(n_train))
-        te_idx = list(range(n_train, len(loaded)))
+        te_idx = list(range(n_train, len(pairs)))
     else:
         val = tuple(val_tiles) or default_val
         te_idx = [i for i, tid in enumerate(ids) if tid in val]
@@ -472,10 +480,17 @@ def _load_isprs(path: str, dataset: str, image_dir: str, suffix: str,
             raise FileNotFoundError(
                 f"--val_tiles {sorted(val)} holds out every available tile "
                 f"— nothing left to train on")
-    train = pack_tiles([loaded[i][0] for i in tr_idx],
-                       [loaded[i][1] for i in tr_idx])
-    test = pack_tiles([loaded[i][0] for i in te_idx],
-                      [loaded[i][1] for i in te_idx])
+    # Threaded decode (see load_unlabeled): ISPRS tiles are ~100 Mpx TIFFs.
+    te_loaded = list(_decode_pool().map(load_pair,
+                                        [pairs[i] for i in te_idx]))
+    test = pack_tiles([im for im, _ in te_loaded],
+                      [mk for _, mk in te_loaded])
+    if test_only:
+        return None, test
+    tr_loaded = list(_decode_pool().map(load_pair,
+                                        [pairs[i] for i in tr_idx]))
+    train = pack_tiles([im for im, _ in tr_loaded],
+                       [mk for _, mk in tr_loaded])
     compute_stats(train)
     test.mean, test.std = train.mean, train.std
     return train, test
@@ -483,7 +498,9 @@ def _load_isprs(path: str, dataset: str, image_dir: str, suffix: str,
 
 def load_vaihingen(path: str, fold: int = 0,
                    val_tiles: Tuple[str, ...] = (), bands: str = "",
-                   extra_bands: Tuple[str, ...] = ()) -> Tuple[TileSet, TileSet]:
+                   extra_bands: Tuple[str, ...] = (),
+                   test_only: bool = False,
+                   ) -> Tuple[Optional[TileSet], TileSet]:
     """ISPRS Vaihingen: IRRG 9cm tiles (top/top_mosaic_09cm_areaN.tif —
     the distributed tiles ARE IRRG; there is no band choice), 6 classes,
     published named train/validation split (SURVEY.md C2c)."""
@@ -493,12 +510,15 @@ def load_vaihingen(path: str, fold: int = 0,
             f"--bands {bands!r}: Vaihingen ships IRRG top tiles only")
     return _load_isprs(path, "vaihingen", "top", "", "gts_for_participants",
                        _vaihingen_area, VAIHINGEN_VAL_TILES,
-                       val_tiles=val_tiles, extra_bands=extra_bands)
+                       val_tiles=val_tiles, extra_bands=extra_bands,
+                       test_only=test_only)
 
 
 def load_potsdam(path: str, fold: int = 0,
                  val_tiles: Tuple[str, ...] = (), bands: str = "rgb",
-                 extra_bands: Tuple[str, ...] = ()) -> Tuple[TileSet, TileSet]:
+                 extra_bands: Tuple[str, ...] = (),
+                 test_only: bool = False,
+                 ) -> Tuple[Optional[TileSet], TileSet]:
     """ISPRS Potsdam: 5cm tiles, 6 classes; --bands selects the image
     source (rgb | irrg | rgbir), named validation split (SURVEY.md C2d)."""
     del fold
@@ -506,10 +526,11 @@ def load_potsdam(path: str, fold: int = 0,
     return _load_isprs(path, "potsdam", image_dir, suffix,
                        "5_Labels_for_participants", _potsdam_grid,
                        POTSDAM_VAL_TILES, val_tiles=val_tiles,
-                       extra_bands=extra_bands)
+                       extra_bands=extra_bands, test_only=test_only)
 
 
-def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
+def load_grss_dfc_2014(path: str, fold: int = 0, test_only: bool = False
+                       ) -> Tuple[Optional[TileSet], TileSet]:
     """GRSS Data Fusion Contest 2014 VHR scene, 5 classes (SURVEY.md C2b).
 
     Expected layout: {path}/train_image.* + train_labels.* and
@@ -534,9 +555,12 @@ def load_grss_dfc_2014(path: str, fold: int = 0) -> Tuple[TileSet, TileSet]:
         mk = np.where(mk == 0, IGNORE_LABEL, mk - 1)
         return im, mk
 
-    tr = load_pair("train")
     te = load_pair("test")
-    train, test = pack_tiles([tr[0]], [tr[1]]), pack_tiles([te[0]], [te[1]])
+    test = pack_tiles([te[0]], [te[1]])
+    if test_only:
+        return None, test
+    tr = load_pair("train")
+    train = pack_tiles([tr[0]], [tr[1]])
     compute_stats(train)
     test.mean, test.std = train.mean, train.std
     return train, test
@@ -600,12 +624,19 @@ def load_dataset(name: str, path: str = "", fold: int = 0, **kwargs
     ([R] dynamic.py:≈load_images; SURVEY.md C2). kwargs are loader-
     specific: synthetic generators take their generation knobs; the
     ISPRS loaders take val_tiles/bands/extra_bands (published protocol)."""
-    if name == "synthetic":
-        return load_synthetic(**kwargs)
-    if name == "synthetic_multi":
-        kwargs.setdefault("num_classes", 6)
-        kwargs.setdefault("num_bands", 4)
-        return load_synthetic(**kwargs)
-    if name == "synthetic_texture":
-        return load_synthetic_texture(**kwargs)
-    return LOADERS[name](path, fold, **kwargs)
+    test_only = bool(kwargs.pop("test_only", False))
+    if name.startswith("synthetic"):
+        if name == "synthetic_multi":
+            kwargs.setdefault("num_classes", 6)
+            kwargs.setdefault("num_bands", 4)
+        gen = (load_synthetic_texture if name == "synthetic_texture"
+               else load_synthetic)
+        train, test = gen(**kwargs)
+        # Generation is cheap; test_only just drops the train split so
+        # the caller's sidecar stats are authoritative (parity with the
+        # real loaders' contract: test.mean/std unset).
+        if test_only:
+            test.mean = test.std = None
+            return None, test
+        return train, test
+    return LOADERS[name](path, fold, test_only=test_only, **kwargs)

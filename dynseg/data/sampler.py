@@ -56,6 +56,7 @@ class BalancedPatchSampler:
         self.num_classes = num_classes
         self.pad = pad  # padded-coordinate convention marker (unused)
         self.balanced = balanced
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
 
         # Per-class tables of (tile, row, col) centers, row/col in padded
@@ -104,6 +105,21 @@ class BalancedPatchSampler:
                 self.rng.shuffle(tab)
                 self._cursor[c] = 0
         return out
+
+    def reseed(self, salt: int) -> None:
+        """Fold salt (e.g. the resume iteration) into the position
+        stream: a resumed run must not REPLAY the identical sample
+        sequence from iteration 0 (review r2). Exact continuation of an
+        uninterrupted stream is not reconstructable from checkpoints;
+        a (seed, salt)-derived distinct stream is the correct fix."""
+        if salt:
+            self.rng = np.random.default_rng((self._seed, salt))
+            # Also reshuffle the in-flight epoch: the table order drawn
+            # from the cursor was produced by the ORIGINAL stream and
+            # would replay regardless of the new rng.
+            for c in self.present:
+                self.rng.shuffle(self.tables[c])
+                self._cursor[c] = 0
 
     def sample(self, batch: int) -> np.ndarray:
         """Return (batch, 3) int32 (tile, row, col) centers.

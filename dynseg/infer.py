@@ -84,7 +84,22 @@ def _fill_padded_context(padded: TileSet, pad: int) -> TileSet:
     H, W = Hp - 2 * pad, Wp - 2 * pad
     for t in range(T):
         h, w = (int(x) for x in padded.valid_hw[t])
-        if h < H or w < W:
+        if (h < pad or w < pad) and (h < H or w < W):
+            # Tiles SHORTER than the pad margin in a pack with slack
+            # (review r2): mirror_pad's top/left bands reflected packed
+            # rows/cols that included zero slack, and _reflect_fill's
+            # source region would then PROPAGATE that corruption right
+            # and down. Rebuild the tile's whole mirrored crop from the
+            # valid block alone (np.pad reflect handles pad >= dim by
+            # repeated reflection — exactly the solo-tile semantics),
+            # then extend across the remaining pack slack.
+            block = padded.images[t, pad:pad + h, pad:pad + w]
+            crop = np.pad(block, ((pad, pad), (pad, pad), (0, 0)),
+                          mode="reflect")
+            padded.images[t][:2 * pad + h, :2 * pad + w] = crop
+            padded.images[t] = _reflect_fill(
+                padded.images[t], 2 * pad + h, 2 * pad + w)
+        elif h < H or w < W:
             # Source region includes the top/left mirror rows, so the
             # fill reproduces a per-tile mirror at the valid edge.
             padded.images[t] = _reflect_fill(

@@ -74,8 +74,14 @@ class ServingEngine:
         m = predictor.manifest
         self.bands = int(m["num_input_bands"])
         self.nc = int(m["num_classes"])
-        self.scales = [int(s) for s in m["inference"]["window_scales"]]
-        self.stride_fraction = float(m["inference"]["stride_fraction"])
+        # Legacy manifests (pre-'inference' block) are loadable by
+        # ExportedPredictor.load — honor that here too (review r2: a
+        # KeyError at startup half-implemented the back-compat path).
+        inf = m.get("inference", {})
+        self.scales = [int(s)
+                       for s in inf.get("window_scales",
+                                        m.get("train_scales", [25]))]
+        self.stride_fraction = float(inf.get("stride_fraction", 0.5))
         self.window_batch = int(window_batch)
         # Default block for the dense estimators. Per-call overhead
         # dominates on remote chips, so big blocks win (measured 8.0
@@ -122,7 +128,7 @@ class ServingEngine:
 
         uint8 rasters upload as uint8 (4x less tunnel traffic; the cast
         and normalization happen on device via the probs_u8 entry)."""
-        halo = int(self.p.manifest["inference"]["dense_halo"])
+        halo = int(self.p.manifest.get("inference", {}).get("dense_halo", 40))
         h, w = img.shape[:2]
         src = img if img.dtype == np.uint8 else img.astype(np.float32)
         big = _mirror_pad(src, halo)
@@ -407,9 +413,25 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                     return client_error(
                         400, f"unknown output {output!r}; "
                              "accepted: labels, probs, png")
-                scales = ([int(s) for s in q["scales"][0].split(",")]
-                          if "scales" in q else None)
-                n = int(self.headers.get("Content-Length", 0))
+                # Parse+validate BEFORE self.rfile.read so failures go
+                # through client_error's drain (review r2: a bare raise
+                # here responded mid-upload and the client saw a reset,
+                # not the 400).
+                scales = None
+                if "scales" in q:
+                    try:
+                        scales = [int(s) for s in q["scales"][0].split(",")]
+                    except ValueError:
+                        return client_error(
+                            400, f"malformed scales {q['scales'][0]!r}; "
+                                 "expected comma-separated integers")
+                    if not scales or any(s < 1 for s in scales):
+                        return client_error(
+                            400, f"scales must be positive, got {scales}")
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    return client_error(400, "malformed Content-Length")
                 if n > max_request_mb * 1024 * 1024:
                     return client_error(
                         413, f"request body {n} bytes exceeds the "

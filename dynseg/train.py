@@ -222,6 +222,12 @@ class Trainer:
     def init_state(self, rng: jax.Array) -> TrainState:
         return jax.device_put(init_state_template(self.cfg, rng), self.repl)
 
+    def reseed_samplers(self, salt: int) -> None:
+        """Resume support: fold the restart iteration into every
+        sampler's position stream (see BalancedPatchSampler.reseed)."""
+        for s in self.samplers:
+            s.reseed(salt)
+
     # ------------------------------------------------------------------ #
     def _chunk_impl(
         self,
@@ -511,7 +517,12 @@ def train_loop(
                 pass
     k = cfg.train.steps_per_call
     depth = max(1, cfg.train.metric_fetch_depth)
-    rng = jax.random.key(cfg.train.seed + 1)
+    # fold_in(start_iter): a resumed run must not REPLAY the dropout-key
+    # stream from iteration 0 (review r2) — exact continuation of the
+    # uninterrupted stream is not reconstructable from a checkpoint, but
+    # a distinct stream is the correct fix (the scheduler's own rng IS
+    # checkpointed and does continue exactly).
+    rng = jax.random.fold_in(jax.random.key(cfg.train.seed + 1), start_iter)
     pending = collections.deque()  # (scale, metrics) with async copies
 
     def consume_one():

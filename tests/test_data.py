@@ -79,6 +79,22 @@ def test_sampler_epoch_cycling():
     assert (np.bincount(flat, minlength=36) == 2).all()
 
 
+def test_sampler_reseed_changes_stream():
+    """Resume must not replay the iteration-0 position stream (review
+    r2): reseed(salt) derives a distinct deterministic stream."""
+    ims = [np.zeros((8, 8, 1), np.float32)]
+    mks = [np.zeros((8, 8), np.int32)]
+    ts = pack_tiles(ims, mks)
+    a = BalancedPatchSampler(ts, num_classes=1, pad=0, seed=5)
+    b = BalancedPatchSampler(ts, num_classes=1, pad=0, seed=5)
+    b.reseed(100)
+    sa, sb = a.sample(32), b.sample(32)
+    assert not np.array_equal(sa, sb)          # no replay after reseed
+    c = BalancedPatchSampler(ts, num_classes=1, pad=0, seed=5)
+    c.reseed(100)
+    np.testing.assert_array_equal(sb, c.sample(32))  # but deterministic
+
+
 @pytest.mark.parametrize("size", [5, 8])
 def test_gather_parity_vs_numpy(size, rng):
     """K2 on-device gather == host extraction + dihedral + normalize."""

@@ -142,6 +142,21 @@ def test_cli_export_from_checkpoint(tmp_path):
     np.testing.assert_allclose(pred.probs(raw), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
 
+    # Review r2: export must reconcile scales with the CHECKPOINT — a
+    # stale CLI --values (here: defaults 25..65 instead of the trained 9)
+    # must not leak into the manifest the server votes with.
+    cfg_stale = dataclasses.replace(
+        cfg,
+        sched=dataclasses.replace(cfg.sched, values=(25, 35, 45, 55, 65)),
+        infer=dataclasses.replace(cfg.infer, scales=(25, 35, 45, 55, 65),
+                                  scales_explicit=False),
+    )
+    out2 = run_export(cfg_stale, platforms=("cpu",), log=lambda *_: None)
+    m = ExportedPredictor.load(out2).manifest
+    assert m["train_scales"] == [9]
+    assert m["inference"]["window_scales"] == [9]
+    assert m["scheduler_best_scales"] == [9]
+
 
 def test_export_with_zero_halo(tmp_path, rng):
     """dense_halo=0 must export a dense_labels entry that returns the

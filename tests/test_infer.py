@@ -311,6 +311,41 @@ def test_unequal_tile_sizes_match_solo_prediction(rng):
     np.testing.assert_allclose(prob_near, prob_solo, atol=1e-5, rtol=1e-4)
 
 
+def test_tiny_tile_top_left_context_is_own_mirror(rng):
+    """Review r2: a tile SHORTER than the pad margin (h < pad — here
+    pad = dense_halo = 40 > 24) had top/left mirror bands reflecting
+    pack slack (zeros), so dense halos and large-scale windows saw zero
+    context at the tile's top/left edge. Dense prediction of the tiny
+    tile must match the tile packed alone."""
+    from dynseg.data.tiles import pack_tiles
+
+    cfg = cfg_for(scales=(12,), window_batch=16)
+    tiny = rng.uniform(0, 255, size=(24, 20, 3)).astype(np.float32)
+    big = rng.uniform(0, 255, size=(56, 60, 3)).astype(np.float32)
+    zeros = lambda im: np.zeros(im.shape[:2], np.int32)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    def dense_first(ts):
+        ts.mean = np.zeros(3, np.float32)
+        ts.std = np.ones(3, np.float32)
+        inf = Inferencer(cfg, ts)
+        assert inf.pad > 24  # the hazard requires pad > valid h
+        # no zero slack may survive anywhere in the tiny tile's padded
+        # context (its content is strictly positive by construction)
+        h, w = (int(x) for x in ts.valid_hw[0])
+        crop = np.asarray(inf._tile(0))[: h + 2 * inf.pad, : w + 2 * inf.pad]
+        assert (np.abs(crop).sum(axis=-1) > 0).all()
+        pred, prob = inf.predict_tile_dense(variables, 0)
+        return np.asarray(pred), np.asarray(prob)
+
+    solo_p, solo_pr = dense_first(pack_tiles([tiny], [zeros(tiny)]))
+    pk_p, pk_pr = dense_first(
+        pack_tiles([tiny, big], [zeros(tiny), zeros(big)]))
+    np.testing.assert_allclose(pk_pr, solo_pr, atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(pk_p, solo_p)
+
+
 def test_set_tiles_reuses_compiled_programs(rng):
     """Chunked prediction's Inferencer reuse: a re-bind with same-shape
     tiles must hit the existing jit cache (no new trace), and a re-bind

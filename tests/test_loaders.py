@@ -251,6 +251,39 @@ def test_potsdam_irrg_source(tmp_path, rng):
     assert train.num_bands == 3 and train.num_tiles == 1
 
 
+def test_test_only_skips_training_split(tmp_path, rng):
+    """Review r2: validate_test with a stats sidecar needs neither the
+    training pixels nor its stats — test_only returns (None, test) with
+    mean/std unset, decoding only the validation tiles."""
+    _fake_vaihingen(tmp_path, rng, areas=("1", "11", "15", "3", "30"))
+    train, test = load_vaihingen(str(tmp_path), test_only=True)
+    assert train is None
+    assert test.num_tiles == 3 and test.mean is None and test.std is None
+    # dispatcher threads the flag; synthetic generators honor it too
+    from dynseg.data.datasets import load_dataset
+    tr2, te2 = load_dataset("vaihingen", str(tmp_path), 0, test_only=True)
+    assert tr2 is None and te2.num_tiles == 3
+    tr3, te3 = load_dataset("synthetic", test_only=True,
+                            num_tiles=2, size=64)
+    assert tr3 is None and te3.mean is None
+    # identical test content either way (split decided before decode)
+    _, te_full = load_vaihingen(str(tmp_path))
+    np.testing.assert_array_equal(te_full.images, te2.images)
+
+
+def test_single_unnamed_tile_rejected(tmp_path, rng):
+    """Review r2: the legacy fallback made one unnamed tile BOTH train
+    and test (silently optimistic train==test metrics) — now an error."""
+    (tmp_path / "top").mkdir()
+    (tmp_path / "gts_for_participants").mkdir()
+    img = rng.integers(0, 255, (20, 20, 3)).astype(np.uint8)
+    _save(tmp_path / "top" / "odd.tif", img)
+    _save(tmp_path / "gts_for_participants" / "odd.tif",
+          ISPRS_PALETTE[rng.integers(0, 6, (20, 20))])
+    with pytest.raises(FileNotFoundError, match="disjoint"):
+        load_vaihingen(str(tmp_path))
+
+
 def test_isprs_legacy_unnamed_tiles_fall_back(tmp_path, rng):
     """Dumps without recognizable ids still load (sorted 75/25)."""
     (tmp_path / "top").mkdir()

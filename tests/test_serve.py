@@ -380,6 +380,17 @@ def test_error_status_codes(served, rng):
         assert ei.value.code == 400
         assert "probs" in json.loads(ei.value.read())["error"]
 
+        # malformed / non-positive scales => 400, not a 500 from deep
+        # inside window_origins (review r2)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("mode=window&scales=abc")
+        assert ei.value.code == 400
+        assert "scales" in json.loads(ei.value.read())["error"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("mode=window&scales=0")
+        assert ei.value.code == 400
+        assert "positive" in json.loads(ei.value.read())["error"]
+
         # engine fault => 500 (previously masked as 400)
         orig = srv.engine.predict
         srv.engine.predict = lambda *a, **k: (_ for _ in ()).throw(
