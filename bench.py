@@ -33,7 +33,6 @@ sys.path.insert(0, {repo!r})
 from dynseg.cli import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
-sys.path.insert(0, {repo!r})
 from dynseg.config import Config, DataConfig, ModelConfig, SchedulerConfig, TrainConfig
 from dynseg.data.datasets import load_synthetic
 from dynseg.train import Trainer
@@ -178,14 +177,24 @@ def main():
         except Exception as e:  # noqa: BLE001 — degraded but explicit
             print(f"tf_baseline failed ({e}); using UNCACHED XLA-CPU proxy",
                   file=sys.stderr)
+            # Match the numerator's batch / launch-fusion so the degraded
+            # ratio measures the PLATFORM, not batch-size + dispatch-
+            # amortization differences (review r2). Fewer steps: 1 vCPU.
             baseline = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"},
-                                 batch=16, steps=4)
+                                 batch=100, steps=1, steps_per_call=4)
+            baseline["platform"] = "xla-cpu-proxy"
 
     # TPU (or whatever the default platform is) measurement. 16 fused
     # steps/launch amortizes the remote-tunnel dispatch latency (the
     # scheduler then gets feedback once per chunk — a documented mode).
     result = run_bench({}, batch=100, steps=8, steps_per_call=16)
     value = result["patches_per_sec"]
+    if result.get("platform") not in ("tpu", "axon"):
+        # review r2: a silent JAX CPU fallback (dead tunnel) must never be
+        # reported as per-chip TPU throughput without a loud flag.
+        print(f"warning: numerator ran on {result.get('platform')!r} — "
+              f"accelerator unavailable? value is NOT per-chip TPU "
+              f"throughput", file=sys.stderr)
     vs = value / baseline["patches_per_sec"]
     # The BASELINE metric is composite ("train patches/sec/chip +
     # inference Mpx/s"); the primary value/vs_baseline stay the train
@@ -197,6 +206,12 @@ def main():
         "unit": "patches/s",
         "vs_baseline": round(vs, 2),
     }
+    # Provenance rides in the JSON so a consumer can distinguish the real
+    # TF-CPU denominator (and a real TPU numerator) from degraded modes.
+    if baseline.get("platform") != "tf-cpu":
+        line["baseline_platform"] = baseline.get("platform", "unknown")
+    if result.get("platform") not in ("tpu", "axon"):
+        line["numerator_platform"] = result.get("platform", "unknown")
     if infer:
         line["inference_mpx_per_s"] = infer  # {"window": ..., "dense": ...}
     print(json.dumps(line))

@@ -54,7 +54,10 @@ def build_tf_model(tf, num_classes: int, bands: int):
     for k, f, d in arch:
         x = L.Conv2D(f, k, padding="same", dilation_rate=d, use_bias=False)(x)
         x = L.BatchNormalization(momentum=0.9, epsilon=1e-5)(x)
-        x = L.LeakyReLU(negative_slope=0.1)(x)
+        try:
+            x = L.LeakyReLU(negative_slope=0.1)(x)   # Keras 3
+        except TypeError:
+            x = L.LeakyReLU(alpha=0.1)(x)            # Keras 2
         x = L.MaxPool2D(pool_size=3, strides=1, padding="same")(x)
     out = L.Conv2D(num_classes, 1, padding="same")(x)
     return tf.keras.Model(inp, out)
@@ -113,8 +116,11 @@ def main() -> int:
     # Conv kernels only (rank-4), mirroring the JAX path's kernel-only
     # weight decay (train.py C11). Keras-3 variable names are bare
     # "kernel"/"gamma"/"beta" — filter by rank, not layer name.
-    kernels = [v for v in model.trainable_variables
-               if v.name.endswith("kernel") and len(v.shape) == 4]
+    # Rank-4 alone selects exactly the conv kernels on BOTH Keras 2
+    # ("conv2d/kernel:0") and Keras 3 ("kernel") naming (review r2: the
+    # name suffix check broke Keras 2 and silently degraded bench.py to
+    # its proxy denominator).
+    kernels = [v for v in model.trainable_variables if len(v.shape) == 4]
 
     @tf.function
     def train_step(x, y):
