@@ -106,6 +106,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--extra_bands", default="",
                    help="extra channels appended to the imagery: 'dsm', "
                         "'ndsm' or 'dsm,ndsm' (ISPRS height data)")
+    p.add_argument("--dataset_kwargs", default="",
+                   help="JSON dict of extra loader kwargs (escape hatch; "
+                        "e.g. the synthetic generators' size/class_probs/"
+                        "label_noise knobs)")
     # --- new-framework knobs ---
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--pool_backward", default="xla", choices=["xla", "pallas"],
@@ -250,6 +254,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             val_tiles=args.val_tiles,
             bands=args.bands,
             extra_bands=args.extra_bands,
+            dataset_kwargs=args.dataset_kwargs,
         ),
     )
     return cfg.validate()
@@ -257,19 +262,35 @@ def config_from_args(args: argparse.Namespace) -> Config:
 
 def _loader_kwargs(cfg: Config) -> dict:
     """Dataset-specific loader arguments from the config (ISPRS named
-    split / band selection / height channels — SURVEY.md C2c/C2d)."""
+    split / band selection / height channels — SURVEY.md C2c/C2d).
+    --dataset_kwargs (JSON dict) merges on top as a generic escape hatch
+    (e.g. '{"class_probs": [0.02, 0.08, 0.55, 0.35]}' for the texture
+    generator's imbalance knob); JSON lists become tuples."""
     if cfg.data.dataset.startswith("synthetic"):
-        return {"seed": cfg.train.seed}
-    kw = {}
-    if cfg.data.dataset in ("vaihingen", "potsdam"):
-        if cfg.data.val_tiles:
-            kw["val_tiles"] = tuple(
-                t.strip() for t in cfg.data.val_tiles.split(",") if t.strip())
-        if cfg.data.bands:
-            kw["bands"] = cfg.data.bands
-        if cfg.data.extra_bands:
-            kw["extra_bands"] = tuple(
-                b.strip() for b in cfg.data.extra_bands.split(",") if b.strip())
+        kw = {"seed": cfg.train.seed}
+    else:
+        kw = {}
+        if cfg.data.dataset in ("vaihingen", "potsdam"):
+            if cfg.data.val_tiles:
+                kw["val_tiles"] = tuple(
+                    t.strip() for t in cfg.data.val_tiles.split(",")
+                    if t.strip())
+            if cfg.data.bands:
+                kw["bands"] = cfg.data.bands
+            if cfg.data.extra_bands:
+                kw["extra_bands"] = tuple(
+                    b.strip() for b in cfg.data.extra_bands.split(",")
+                    if b.strip())
+    if cfg.data.dataset_kwargs:
+        try:
+            extra = json.loads(cfg.data.dataset_kwargs)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"--dataset_kwargs is not valid JSON: {e}") from e
+        if not isinstance(extra, dict):
+            raise ValueError("--dataset_kwargs must be a JSON object")
+        kw.update({k: tuple(v) if isinstance(v, list) else v
+                   for k, v in extra.items()})
     return kw
 
 

@@ -190,6 +190,11 @@ class DataConfig:
     bands: str = ""
     # Extra channels appended to the imagery: "dsm", "ndsm" or both.
     extra_bands: str = ""
+    # JSON dict of extra loader kwargs (--dataset_kwargs): generic escape
+    # hatch, mainly for the synthetic generators' knobs (size, num_tiles,
+    # class_probs, label_noise, ...). Stored as the raw string so the
+    # frozen config stays hashable; parsed in cli._loader_kwargs.
+    dataset_kwargs: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -173,6 +173,20 @@ def test_scheduler_knob_flags():
     assert not cfg.sched.favor_high_score
 
 
+def test_dataset_kwargs_escape_hatch():
+    from dynseg.cli import _loader_kwargs
+
+    cfg = _cfg(["--dataset", "synthetic_texture", "--dataset_kwargs",
+                '{"class_probs": [0.02, 0.08, 0.55, 0.35], "size": 128}'])
+    kw = _loader_kwargs(cfg)
+    assert kw["class_probs"] == (0.02, 0.08, 0.55, 0.35)  # list -> tuple
+    assert kw["size"] == 128 and kw["seed"] == cfg.train.seed
+    with pytest.raises(ValueError, match="valid JSON"):
+        _loader_kwargs(_cfg(["--dataset_kwargs", "{nope"]))
+    with pytest.raises(ValueError, match="JSON object"):
+        _loader_kwargs(_cfg(["--dataset_kwargs", "[1,2]"]))
+
+
 def test_protocol_mismatch_warning():
     """Review r2: stats sidecar records the data protocol (val_tiles/
     bands/extra_bands) that produced the checkpoint — evaluating under a
