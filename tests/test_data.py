@@ -24,6 +24,9 @@ def test_pack_tiles_pads_with_ignore():
 
 def test_stats_exclude_padding():
     ims = [np.full((4, 4, 1), 10.0, np.float32)]
+    # poison the IGNORED pixel so inclusion would shift mean/std (review
+    # r2: a constant image made this test vacuous)
+    ims[0][0, 0] = 1000.0
     mks = [np.zeros((4, 4), np.int32)]
     mks[0][0, 0] = IGNORE_LABEL
     ts = pack_tiles(ims, mks)

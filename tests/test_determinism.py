@@ -1,8 +1,6 @@
 """Reproducibility: same seed => identical sampling, scheduling, and
 training trajectory (the reference offers no such guarantee; we do)."""
 
-import dataclasses
-
 import jax
 import numpy as np
 

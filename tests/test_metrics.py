@@ -74,7 +74,7 @@ def test_erode_boundaries_bruteforce_golden():
                 lo_j, hi_j = max(0, j - r), min(w, j + r + 1)
                 if (mask[lo_i:hi_i, lo_j:hi_j] != mask[i, j]).any():
                     want[i, j] = IGNORE_LABEL
-        np.testing.assert_array_equal(got, want), r
+        np.testing.assert_array_equal(got, want, err_msg=f"radius {r}")
 
 
 def test_erode_boundaries_edge_cases():

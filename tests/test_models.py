@@ -2,6 +2,8 @@
 at EVERY patch size with ONE parameter set — the invariant behind dynamic
 multi-context training (§3.3)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,15 @@ def test_bfloat16_compute_path():
     assert all(
         p.dtype == jnp.float32 for p in jax.tree.leaves(variables["params"])
     )
+    # the bf16 path must actually COMPUTE in bf16 (review r2: dtype-only
+    # checks passed even if compute_dtype were ignored): same params run
+    # in f32 give a measurably different result
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    y32 = build_model(cfg32).apply(variables, x, train=False)
+    diff = float(jnp.abs(y - y32).max())
+    assert diff > 1e-4, f"bf16 and f32 outputs identical (diff={diff})"
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y32),
+                               atol=0.15, rtol=0.3)  # ...but close
 
 
 def test_dense_variant_differs_from_sequential():

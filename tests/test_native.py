@@ -63,7 +63,6 @@ def test_shuffle_is_permutation(rng):
 
 def test_sampler_native_vs_numpy_equivalent(rng):
     masks = rng.integers(0, 3, size=(2, 40, 40)).astype(np.int32)
-    ims = [np.zeros((40, 40, 3), np.float32)] * 2
     ts = pack_tiles(list(np.zeros((2, 40, 40, 3), np.float32)), list(masks))
     a = BalancedPatchSampler(ts, 3, pad=0, seed=0, use_native=True)
     b = BalancedPatchSampler(ts, 3, pad=0, seed=0, use_native=False)

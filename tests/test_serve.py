@@ -6,6 +6,7 @@ C15)."""
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -125,7 +126,7 @@ def test_http_endpoints(served, rng):
 
         # malformed input -> 400 with an error message
         with pytest.raises(urllib.error.HTTPError) as ei:
-            post("/predict", np.save(io.BytesIO(), 1) or b"garbage", "")
+            post("/predict", b"garbage", "")
         assert ei.value.code == 400
     finally:
         srv.shutdown()

@@ -239,6 +239,7 @@ def test_sigterm_checkpoints_and_stops(tiles, tmp_path):
     ckpt = CheckpointManager(str(tmp_path))
     logs = []
 
+    prev_handler = signal.getsignal(signal.SIGTERM)
     timer = threading.Timer(1.0, signal.raise_signal, (signal.SIGTERM,))
     timer.start()
     try:
@@ -253,8 +254,11 @@ def test_sigterm_checkpoints_and_stops(tiles, tmp_path):
     assert 0 < it < cfg.train.niter  # stopped early, made progress
     assert ckpt.latest_step() == it  # checkpointed exactly where it stopped
     assert any("signal" in m for m in logs)
-    # handler restored: raising SIGTERM again must not be swallowed
-    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    # handler restored to whatever was installed BEFORE train_loop
+    # (review r2: asserting SIG_DFL specifically broke under harnesses
+    # with their own SIGTERM handler and could not distinguish
+    # restore-previous from blind reset)
+    assert signal.getsignal(signal.SIGTERM) == prev_handler
 
 
 def test_keep_best_checkpoint_roundtrip(tiles, tmp_path):

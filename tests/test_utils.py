@@ -23,10 +23,12 @@ def test_metric_logger_writes_jsonl(tmp_path):
 def test_meter_rate():
     m = Meter()
     assert m.rate == 0.0
-    m.add(100)
+    m.add(100)          # first add only starts the clock
     time.sleep(0.05)
     m.add(100)
-    assert 100 < m.rate < 100000
+    # >= 0.05 s elapsed for 100 counted units: rate is positive and
+    # bounded above; no lower wall-clock bound (CI stalls — review r2)
+    assert 0.0 < m.rate <= 100 / 0.05
     m.reset()
     assert m.rate == 0.0
 
