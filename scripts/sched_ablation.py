@@ -37,6 +37,7 @@ def run_one(args, distribution, values, seed, update_type="acc"):
             "--operation", "training",
             "--dataset", args.dataset,
             "--dataset_path", args.dataset_path,
+            "--dataset_kwargs", args.dataset_kwargs,
             "--output_path", tmp,
             "--net_type", args.net_type,
             "--distribution_type", distribution,
@@ -84,6 +85,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="synthetic_texture")
     ap.add_argument("--dataset_path", default="")
+    ap.add_argument("--dataset_kwargs", default="",
+                    help="JSON loader kwargs (e.g. the harsh-imbalance "
+                         "run: '{\"class_probs\": [0.02,0.08,0.55,0.35]}')")
     ap.add_argument("--values", default="25,35,45,55,65")
     ap.add_argument("--niter", type=int, default=1500)
     ap.add_argument("--batch_size", type=int, default=32)
