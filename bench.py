@@ -187,7 +187,27 @@ def main():
     # TPU (or whatever the default platform is) measurement. 16 fused
     # steps/launch amortizes the remote-tunnel dispatch latency (the
     # scheduler then gets feedback once per chunk — a documented mode).
-    result = run_bench({}, batch=100, steps=8, steps_per_call=16)
+    # The tunneled chip has recurring multi-hour outages ("TPU backend
+    # setup/compile error (Unavailable)"): fall back to a CPU
+    # measurement with LOUD provenance rather than crashing with no
+    # JSON line at all.
+    result = None
+    try:
+        result = run_bench({}, batch=100, steps=8, steps_per_call=16)
+    except Exception as e:  # noqa: BLE001 — backend-down path
+        print(f"accelerator bench failed: {str(e)[:300]}", file=sys.stderr)
+    accel_down = result is None
+    if accel_down:
+        # Small shapes here ON PURPOSE: this emergency value is already
+        # stamped as degraded, and the numerator's batch-100 program
+        # takes >30 min to COMPILE on this 1-vCPU host — completing with
+        # a flagged number beats timing out with none.
+        print("accelerator unavailable — measuring on CPU with provenance "
+              "stamped (value is NOT per-chip TPU throughput)",
+              file=sys.stderr)
+        result = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"},
+                           batch=16, steps=4)
+        result["platform"] = "cpu"
     value = result["patches_per_sec"]
     if result.get("platform") not in ("tpu", "axon"):
         # review r2: a silent JAX CPU fallback (dead tunnel) must never be
@@ -198,8 +218,10 @@ def main():
     vs = value / baseline["patches_per_sec"]
     # The BASELINE metric is composite ("train patches/sec/chip +
     # inference Mpx/s"); the primary value/vs_baseline stay the train
-    # number, the inference rates ride along for the record.
-    infer = run_infer_bench()
+    # number, the inference rates ride along for the record. Skipped
+    # when the accelerator leg already failed (it would hang its own
+    # 1500 s against the same dead backend).
+    infer = None if accel_down else run_infer_bench()
     line = {
         "metric": "train_patches_per_sec_per_chip",
         "value": round(value, 2),

@@ -23,6 +23,35 @@ def test_bench_harness_smoke():
     assert result["patches_per_sec"] > 0
 
 
+def test_bench_main_chip_down_fallback(capsys):
+    """Outage path: the accelerator leg raising must still emit ONE JSON
+    line, stamped with numerator provenance, and must NOT attempt the
+    inference leg against the same dead backend."""
+    bench = _load_bench()
+    calls = []
+
+    def fake_run_bench(env_extra, batch, steps, steps_per_call=1):
+        calls.append(env_extra)
+        if env_extra.get("DYNSEG_BENCH_PLATFORM") != "cpu":
+            raise RuntimeError("TPU backend setup/compile error (Unavailable)")
+        return {"patches_per_sec": 7.0, "platform": "cpu"}
+
+    bench.run_bench = fake_run_bench
+    bench.run_infer_bench = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("infer leg must be skipped when the chip is down"))
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    import json as _json
+    line = _json.loads(out[-1])
+    assert line["metric"] == "train_patches_per_sec_per_chip"
+    assert line["numerator_platform"] == "cpu"
+    assert line["value"] == 7.0
+    assert "inference_mpx_per_s" not in line
+    # first call was the accelerator attempt, second the CPU fallback
+    assert len(calls) == 2 and calls[0] == {}
+
+
 def test_infer_bench_smoke():
     bench = _load_bench()
     result = bench.run_infer_bench({
