@@ -299,9 +299,19 @@ def _adopt_checkpoint_model(cfg: Config, stats: dict,
     """Rebuild the EXACT model config a checkpoint was trained with from
     its stats sidecar — the trainer-free restore template must match
     shapes (width/BN) and semantics (slope/pool/dropout). Old sidecars
-    lack the architecture keys; those fall back to the CLI values."""
+    lack the architecture keys; those fall back to the CLI values.
+
+    Unless adopt_net_type, a sidecar net_type that contradicts the CLI
+    is an error (the param tree cannot match) — centralized here so the
+    testing/predict/export entry points cannot drift (review r2)."""
     import dataclasses as dc
 
+    if not adopt_net_type and stats.get("net_type") not in (
+            None, cfg.model.net_type):
+        raise ValueError(
+            f"checkpoint was trained with net_type={stats['net_type']!r}; "
+            f"pass --net_type {stats['net_type']}"
+        )
     kw = {
         "num_input_bands": int(stats["num_input_bands"]),
         "num_classes": int(stats["num_classes"]),
@@ -327,6 +337,26 @@ def _fix_num_input_bands(cfg: Config, train_tiles) -> Config:
     return cfg
 
 
+def _fix_num_classes(cfg: Config, train_tiles, log=print) -> Config:
+    """Widen the model head when the loaded labels exceed the dataset's
+    default class count (review r2: --dataset_kwargs can raise the
+    synthetic generators' num_classes, and out-of-range labels under jit
+    train SILENTLY wrong — optax's integer-label CE clamps them)."""
+    from dynseg.data.tiles import IGNORE_LABEL
+
+    masks = np.asarray(train_tiles.masks)
+    labeled = masks[masks != IGNORE_LABEL]
+    observed = int(labeled.max()) + 1 if labeled.size else 0
+    if observed > cfg.model.num_classes:
+        log(f"note: labels contain {observed} classes; widening the model "
+            f"head from the {cfg.data.dataset!r} default "
+            f"{cfg.model.num_classes}")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_classes=observed)
+        )
+    return cfg
+
+
 def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     from dynseg.checkpoint import CheckpointManager
     from dynseg.infer import validate_test
@@ -338,6 +368,7 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         **_loader_kwargs(cfg),
     )
     cfg = _fix_num_input_bands(cfg, train_tiles)
+    cfg = _fix_num_classes(cfg, train_tiles, log)
     os.makedirs(cfg.train.output_path, exist_ok=True)
 
     trainer = Trainer(cfg, train_tiles)
@@ -347,7 +378,7 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         log("WARNING: cleared checkpoints from a previous run in this "
             "--output_path (a fresh run cannot extend them; pass --resume "
             "to continue the previous run instead)")
-    ckpt.save_stats({
+    new_stats = {
         "mean": train_tiles.mean, "std": train_tiles.std,
         "num_input_bands": cfg.model.num_input_bands,
         "num_classes": cfg.model.num_classes,
@@ -365,10 +396,26 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         "val_tiles": cfg.data.val_tiles,
         "bands": cfg.data.bands,
         "extra_bands": cfg.data.extra_bands,
-    })
+        "fold": cfg.data.fold,
+    }
 
     start_iter = 0
     if cfg.train.resume and ckpt.latest_step() is not None:
+        # Validate the resume against the EXISTING sidecar BEFORE
+        # anything overwrites it (review r2: save_stats ran first, so a
+        # rejected resume — or a failed param-tree restore — had already
+        # corrupted the checkpoint's recorded architecture, bricking the
+        # trainer-free predict/export paths until hand-edited).
+        prev_stats = ckpt.load_stats()
+        if prev_stats is not None:
+            if prev_stats.get("net_type") not in (None, cfg.model.net_type):
+                raise ValueError(
+                    f"--resume: checkpoint was trained with net_type="
+                    f"{prev_stats['net_type']!r} but the CLI requests "
+                    f"{cfg.model.net_type!r}; resume with the original "
+                    f"--net_type or train fresh in a new --output_path"
+                )
+            _warn_protocol_mismatch(cfg, prev_stats, log)
         state, start_iter = ckpt.restore(trainer, scheduler)
         if set(scheduler.values) != set(int(v) for v in cfg.sched.values):
             # The samplers/buckets are built from --values; a checkpoint
@@ -396,6 +443,9 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         log(f"resumed from iteration {start_iter}")
     else:
         state = trainer.init_state(jax.random.key(cfg.train.seed))
+    # Written only after the resume validations above have passed — a
+    # rejected resume must leave the previous run's sidecar untouched.
+    ckpt.save_stats(new_stats)
 
     log("pre-compiling per-scale step buckets (SURVEY.md C12)...")
     times = trainer.compile_buckets(state)
@@ -491,9 +541,13 @@ def _warn_protocol_mismatch(cfg: Config, stats: dict, log) -> None:
     overlapping the training tiles). The CLI flags stay authoritative
     (a deliberate protocol change must remain possible); this only
     makes the mismatch loud."""
-    for key in ("val_tiles", "bands", "extra_bands"):
+    for key in ("dataset", "fold", "val_tiles", "bands", "extra_bands"):
+        if key not in stats:
+            continue  # pre-r2 sidecar: nothing recorded to compare
         have = str(getattr(cfg.data, key) or "")
         want = str(stats.get(key) or "")
+        if key == "fold":  # ints, and 0 is a real fold — compare directly
+            have, want = str(cfg.data.fold), str(stats["fold"])
         if want != have:
             log(f"WARNING: checkpoint was trained with --{key}="
                 f"{want or '<default>'} but this run uses "
@@ -521,11 +575,6 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         test_only=(stats is not None), **_loader_kwargs(cfg),
     )
     if stats is not None:
-        if stats.get("net_type") not in (None, cfg.model.net_type):
-            raise ValueError(
-                f"checkpoint was trained with net_type="
-                f"{stats['net_type']!r}; pass --net_type {stats['net_type']}"
-            )
         _warn_protocol_mismatch(cfg, stats, log)
         cfg = _adopt_checkpoint_model(cfg, stats)
         # Normalize evaluation with the TRAINING-TIME stats (the sidecar),
@@ -553,7 +602,15 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     mesh = None
     if cfg.train.num_devices > 1:
-        devs = np.array(jax.devices()[: cfg.train.num_devices])
+        avail = jax.devices()
+        if len(avail) < cfg.train.num_devices:
+            # Mirror Trainer's check (train.py): a mis-provisioned eval
+            # job must fail fast, not silently run on fewer chips.
+            raise ValueError(
+                f"--num_devices {cfg.train.num_devices} requested but only "
+                f"{len(avail)} JAX device(s) are visible"
+            )
+        devs = np.array(avail[: cfg.train.num_devices])
         mesh = jax.sharding.Mesh(devs, ("data",))
     scores = validate_test(cfg, variables, test_tiles, scales=scales, log=log,
                            mesh=mesh)
@@ -590,11 +647,6 @@ def run_predict(cfg: Config, predict_path: str, log=print,
             f"predict path; re-save it by resuming training for one "
             f"checkpoint interval, or use --operation validate_test with "
             f"the original dataset"
-        )
-    if stats.get("net_type") not in (None, cfg.model.net_type):
-        raise ValueError(
-            f"checkpoint was trained with net_type={stats['net_type']!r}; "
-            f"pass --net_type {stats['net_type']}"
         )
     cfg = _adopt_checkpoint_model(cfg, stats)
 
@@ -675,11 +727,6 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
             f"no stats.json under {ckpt.dir} — export needs the stats "
             f"sidecar (re-save the checkpoint by resuming training for "
             f"one checkpoint interval)"
-        )
-    if stats.get("net_type") not in (None, cfg.model.net_type):
-        raise ValueError(
-            f"checkpoint was trained with net_type={stats['net_type']!r}; "
-            f"pass --net_type {stats['net_type']}"
         )
     cfg = _adopt_checkpoint_model(cfg, stats)
     scheduler = ScaleScheduler(cfg.sched, seed=cfg.train.seed)

@@ -604,6 +604,21 @@ def load_rasters(files: List[str], pad_to_multiple: int = 1
     ims = list(_decode_pool().map(load_one, files))
     mks = [np.full(im.shape[:2], IGNORE_LABEL, np.int32) for im in ims]
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    if len(set(names)) != len(names):
+        # tile1.tif + tile1.png would both write prediction_tile1.png,
+        # silently losing one map (review r2) — disambiguate duplicated
+        # stems with the extension (then a counter, for true dup paths).
+        seen: dict = {}
+        dup = {n for n in names if names.count(n) > 1}
+        uniq = []
+        for f, n in zip(files, names):
+            if n in dup:
+                ext = os.path.splitext(f)[1].lstrip(".").lower()
+                n = f"{n}_{ext}" if ext else n
+            k = seen.get(n, 0)
+            seen[n] = k + 1
+            uniq.append(n if k == 0 else f"{n}_{k}")
+        names = uniq
     # NOTE: no reflect fill here — the Inferencer extends each tile's
     # mirrored context after ITS padding step (infer._fill_padded_context),
     # which is the only placement that keeps chunked == unchunked.

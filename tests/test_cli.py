@@ -215,3 +215,16 @@ def test_protocol_mismatch_warning():
     msgs = []
     _warn_protocol_mismatch(_cfg([]), {}, msgs.append)
     assert not msgs, msgs
+
+    # review r2: cross-dataset and cross-fold evaluation were silent —
+    # both are recorded and compared now
+    stats = {"dataset": "potsdam", "fold": 0}
+    msgs = []
+    _warn_protocol_mismatch(
+        _cfg(["--dataset", "vaihingen", "--fold", "1"]), stats, msgs.append)
+    assert any("--dataset" in m and "potsdam" in m for m in msgs), msgs
+    assert any("--fold" in m for m in msgs), msgs
+    msgs = []
+    _warn_protocol_mismatch(
+        _cfg(["--dataset", "potsdam", "--fold", "0"]), stats, msgs.append)
+    assert not msgs, msgs

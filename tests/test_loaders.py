@@ -313,6 +313,29 @@ def test_loader_kwargs_threading():
     assert _loader_kwargs(config_from_args(args2)) == {}
 
 
+def test_load_rasters_disambiguates_duplicate_stems(tmp_path):
+    """Review r2: tile1.tif + tile1.png share the stem 'tile1', so both
+    prediction maps wrote prediction_tile1.png and one was silently
+    lost. Duplicated stems must come back disambiguated (and unique)."""
+    from dynseg.data.datasets import load_rasters
+
+    a = np.full((6, 6, 3), 10, np.uint8)
+    b = np.full((6, 6, 3), 20, np.uint8)
+    Image.fromarray(a).save(tmp_path / "tile1.png")
+    Image.fromarray(b).save(tmp_path / "tile1.tif")
+    Image.fromarray(a).save(tmp_path / "solo.png")
+
+    files = [str(tmp_path / "tile1.png"), str(tmp_path / "tile1.tif"),
+             str(tmp_path / "solo.png")]
+    ts, names = load_rasters(files)
+    assert len(set(names)) == 3, names
+    assert names[2] == "solo"  # non-colliding stems keep their name
+    assert names[0] == "tile1_png" and names[1] == "tile1_tif"
+    # content still pairs with the right name after disambiguation
+    assert np.asarray(ts.images[0])[0, 0, 0] == 10
+    assert np.asarray(ts.images[1])[0, 0, 0] == 20
+
+
 def test_decode_pool_preserves_file_content_pairing(tmp_path):
     """Round-1 verdict weak #6: the shared raster-decode thread pool
     (`datasets._decode_pool`) was only behavior-tested. Stress the
