@@ -14,10 +14,11 @@ Usage: python scripts/bench_convs.py [--batch 100] [--hw 25] [--reps 300]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,15 @@ def main() -> int:
     ap.add_argument("--out", default="docs/mode_gap.json")
     args = ap.parse_args()
 
-    from dynseg.cli import build_argparser, config_from_args, run_testing, run_training
+    from dynseg.cli import (build_argparser, config_from_args,
+                            enable_compilation_cache, run_testing,
+                            run_training)
+
+    # Persistent compile cache (cli.main enables it for CLI runs; direct
+    # run_training callers must too) — without it every combo pays full
+    # per-scale bucket compiles AND the timed run_testing legs below
+    # would charge compile time to the mode-choice wall_s table.
+    enable_compilation_cache()
 
     regimes = [
         ("single_fixed@25", "single_fixed", "25"),
@@ -68,11 +76,21 @@ def main() -> int:
                     "--no_prediction_maps",
                 ])
                 cfg = config_from_args(cli)
-                run_training(cfg, log=lambda *_: None)
+                scores = run_training(cfg, log=lambda *_: None)
+                if scores.get("preempted"):
+                    # SIGINT/SIGTERM lands inside train_loop's handler and
+                    # run_training RETURNS (it does not raise) — without
+                    # this check a half-trained checkpoint would be
+                    # evaluated and recorded as a real row (review r2).
+                    print("preempted — aborting sweep", file=sys.stderr)
+                    return 1
                 row = {"train": name, "seed": seed}
                 for mode in ("window", "dense"):
+                    # warm the mode's programs so wall_s measures
+                    # inference, not compile+restore (review r2)
                     cfg_m = dataclasses.replace(
                         cfg, infer=dataclasses.replace(cfg.infer, mode=mode))
+                    run_testing(cfg_m, log=lambda *_: None)
                     t0 = time.time()
                     s = run_testing(cfg_m, log=lambda *_: None)
                     row[mode] = {

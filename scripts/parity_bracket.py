@@ -58,7 +58,10 @@ def main() -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from dynseg.cli import build_argparser, config_from_args, run_training
+    from dynseg.cli import (build_argparser, config_from_args,
+                            enable_compilation_cache, run_training)
+
+    enable_compilation_cache()  # combos share per-scale bucket programs
 
     bracket = list(itertools.product(
         (True, False),        # favor_high_score
@@ -69,6 +72,23 @@ def main() -> int:
     if args.combos:
         bracket = bracket[: args.combos]
     results = []
+    try:
+        _run_bracket(args, bracket, results,
+                     build_argparser, config_from_args, run_training)
+    except KeyboardInterrupt:
+        # train_loop's graceful handler only covers interrupts landing
+        # inside the hot loop; Ctrl-C during dataset load / bucket
+        # compile / between combos raised through here and lost the
+        # completed combos' ranking (review r2).
+        print("interrupted outside train_loop — writing partial ranking")
+        _write(results, args.out)
+        return 130
+    _write(results, args.out)
+    return 0
+
+
+def _run_bracket(args, bracket, results,
+                 build_argparser, config_from_args, run_training) -> None:
     for favor, upd, slope, bn in bracket:
         f1s = []
         for seed in range(args.seeds):
@@ -101,11 +121,10 @@ def main() -> int:
                 )
                 scores = run_training(cfg, log=lambda *_: None)
                 if scores.get("preempted"):
-                    # Ctrl-C lands here via train_loop's graceful stop:
-                    # abort the sweep with whatever completed so far.
-                    print("interrupted — writing partial ranking")
-                    _write(results, args.out)
-                    return 130
+                    # Ctrl-C inside train_loop lands here via its
+                    # graceful stop; re-raise so main()'s handler writes
+                    # the partial ranking exactly once and exits 130.
+                    raise KeyboardInterrupt
                 f1s.append(float(scores["mean_f1"]))
         mean = sum(f1s) / len(f1s)
         combo = {"favor_high_score": favor, "update_type": upd,
@@ -113,9 +132,6 @@ def main() -> int:
                  "mean_f1": round(mean, 4), "per_seed": f1s}
         results.append(combo)
         print(json.dumps(combo))
-
-    _write(results, args.out)
-    return 0
 
 
 def _write(results, out_path: str) -> None:

@@ -1,18 +1,20 @@
 """Decompose inference wall time on a production-size tile (hardware).
 
 Separates, for window and dense modes and for f32 vs uint8 tile storage:
-  * per-scale overlap-add launch time (forced by a dependent scalar fetch,
-    NOT block_until_ready — see docs/DESIGN.md measurement rules)
+  * per-scale overlap-add launch time (honest sync: predict_tile returns
+    the prediction as HOST numpy, a data-dependent fetch of the full map
+    — NOT block_until_ready; see docs/DESIGN.md measurement rules)
   * final argmax + uint8 map fetch
 
 Usage: python scripts/profile_infer.py [--size 2048] [--scales 25,45,65]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +25,6 @@ from dynseg.config import Config, InferConfig, ModelConfig
 from dynseg.data.tiles import compute_stats, pack_tiles
 from dynseg.infer import Inferencer, window_origins
 from dynseg.models.dilated import build_model
-
-
-def sync(x):
-    """Honest device sync: fetch one dependent scalar."""
-    return float(jnp.asarray(x).ravel()[0])
 
 
 def profile(ts, label, cfg, variables, scales):

@@ -6,10 +6,11 @@ Usage: python scripts/profile_train.py [--batch 100] [--size 25] [--k 16]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

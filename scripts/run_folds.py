@@ -14,23 +14,51 @@ import json
 import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def main(argv=None):
+def _write_summary(output_path: str, results: list, folds: int) -> None:
+    summary = {
+        "folds": results,
+        "folds_requested": folds,
+        "complete": len(results) == folds,
+    }
+    if results:
+        summary.update({
+            "oa_mean": float(np.mean([r["oa"] for r in results])),
+            "oa_std": float(np.std([r["oa"] for r in results])),
+            "kappa_mean": float(np.mean([r["kappa"] for r in results])),
+            "mean_f1_mean": float(np.mean([r["mean_f1"] for r in results])),
+            "mean_f1_std": float(np.std([r["mean_f1"] for r in results])),
+        })
+    path = os.path.join(output_path, "folds_summary.json")
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    print(f"wrote {path}")
+
+
+def main(argv=None) -> int:
+    # allow_abbrev=False: --fold is a REAL dynseg CLI flag; with
+    # abbreviation on, argparse would swallow it as --folds and the
+    # documented pass-through silently breaks (review r2).
     ap = argparse.ArgumentParser(
         prog="run_folds",
         description=__doc__.splitlines()[0],
         epilog="All other flags pass through to the dynseg CLI.",
+        allow_abbrev=False,
     )
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--output_path", required=True)
     args, passthrough = ap.parse_known_args(argv)
 
-    from dynseg.cli import build_argparser, config_from_args, run_training
+    from dynseg.cli import (build_argparser, config_from_args,
+                            enable_compilation_cache, run_training)
     from dynseg.utils.logging import MetricLogger
+
+    enable_compilation_cache()  # folds share per-scale bucket programs
 
     results = []
     for fold in range(args.folds):
@@ -44,26 +72,25 @@ def main(argv=None):
         logger.log(f"=== fold {fold}/{args.folds} ===")
         scores = run_training(cfg, log=logger)
         logger.close()
+        if scores.get("preempted"):
+            # SIGTERM/SIGINT inside train_loop RETURNS (preemption-safe
+            # checkpoint written); without this the aggregation crashed
+            # on the missing score keys and the completed folds' summary
+            # was lost (review r2). Write what finished, then stop.
+            print(f"fold {fold} preempted at iteration "
+                  f"{scores.get('iteration')} — writing partial summary",
+                  file=sys.stderr)
+            _write_summary(args.output_path, results, args.folds)
+            return 1
         results.append(
             {"fold": fold, "oa": scores["oa"], "kappa": scores["kappa"],
              "mean_f1": scores["mean_f1"],
              "f1": list(map(float, scores["f1"]))}
         )
 
-    summary = {
-        "folds": results,
-        "oa_mean": float(np.mean([r["oa"] for r in results])),
-        "oa_std": float(np.std([r["oa"] for r in results])),
-        "kappa_mean": float(np.mean([r["kappa"] for r in results])),
-        "mean_f1_mean": float(np.mean([r["mean_f1"] for r in results])),
-        "mean_f1_std": float(np.std([r["mean_f1"] for r in results])),
-    }
-    path = os.path.join(args.output_path, "folds_summary.json")
-    with open(path, "w") as f:
-        json.dump(summary, f, indent=2)
-    print(json.dumps(summary, indent=2))
-    print(f"wrote {path}")
+    _write_summary(args.output_path, results, args.folds)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

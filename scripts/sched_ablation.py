@@ -136,27 +136,43 @@ def main() -> int:
                     for v in values]
     configs += [(d + args.tag, d, values) for d in dists]
 
+    from dynseg.cli import enable_compilation_cache
+
+    enable_compilation_cache()  # configs/seeds share bucket programs
+
+    def summarize(name, dist, vals, runs):
+        oas = [r["oa"] for r in runs]
+        f1s = [r["mean_f1"] for r in runs]
+        return {
+            "config": name, "distribution": dist, "values": vals,
+            "oa_mean": round(sum(oas) / len(oas), 4),
+            "oa_min": round(min(oas), 4), "oa_max": round(max(oas), 4),
+            "f1_mean": round(sum(f1s) / len(f1s), 4),
+            "runs": runs,
+        }
+
     results = []
     try:
         for name, dist, vals in configs:
             runs = []
             for seed in range(args.seed_start, args.seed_start + args.seeds):
                 print(f"[{name} seed={seed}] ...", flush=True)
-                r = run_one(args, dist, vals, seed,
-                            update_type=args.update_type)
+                try:
+                    r = run_one(args, dist, vals, seed,
+                                update_type=args.update_type)
+                except KeyboardInterrupt:
+                    # Keep the in-flight config's COMPLETED seeds too —
+                    # each is a full training run; dropping them defeated
+                    # the --seed_start extension workflow (review r2).
+                    if runs:
+                        results.append(summarize(
+                            name + "(partial)", dist, vals, runs))
+                    raise
                 print(f"[{name} seed={seed}] OA={r['oa']:.4f} "
                       f"meanF1={r['mean_f1']:.4f} ({r['wall_s']}s)",
                       flush=True)
                 runs.append(r)
-            oas = [r["oa"] for r in runs]
-            f1s = [r["mean_f1"] for r in runs]
-            results.append({
-                "config": name, "distribution": dist, "values": vals,
-                "oa_mean": round(sum(oas) / len(oas), 4),
-                "oa_min": round(min(oas), 4), "oa_max": round(max(oas), 4),
-                "f1_mean": round(sum(f1s) / len(f1s), 4),
-                "runs": runs,
-            })
+            results.append(summarize(name, dist, vals, runs))
     except KeyboardInterrupt:
         print("interrupted — writing partial results")
 

@@ -8,10 +8,11 @@ Usage: python scripts/stress_scale.py [--tiles 20] [--size 3000] [--iters 200]
 
 import argparse
 import resource
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
