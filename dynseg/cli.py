@@ -115,8 +115,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pool_backward", default="xla", choices=["xla", "pallas"],
                    help="stride-1 max-pool VJP: XLA select_and_scatter or "
                         "the (H*W,C)-layout Pallas kernel (ops/pool.py)")
-    p.add_argument("--eval_every", type=int, default=500)
-    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--eval_every", type=int, default=500,
+                   help="validation interval in iterations (0 disables)")
+    p.add_argument("--checkpoint_every", type=int, default=1000,
+                   help="periodic-checkpoint interval (0 disables; the "
+                        "final and preemption checkpoints still write)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel TPU chips (mesh axis 'data')")

@@ -144,12 +144,15 @@ def storage_dtype(images: np.ndarray) -> np.dtype:
     return np.dtype(np.float32)
 
 
-def mirror_pad(ts: TileSet, pad: int) -> TileSet:
+def mirror_pad(ts: TileSet, pad: int, pad_masks: bool = True) -> TileSet:
     """Reflect-pad every tile by `pad` on each spatial side so patch centers
     anywhere in the valid area always have full context, and sliding windows
     cover tile edges ([R] dynamic.py:≈manipulate_border_array; SURVEY.md C14).
 
     Mask padding uses IGNORE_LABEL (padded pixels never scored/sampled).
+    pad_masks=False shares the caller's UNPADDED masks instead of
+    allocating a padded int32 copy — inference never reads padded masks,
+    and the copy is ~13 GB at production scale (review r2).
     """
     if pad <= 0:
         return ts
@@ -158,10 +161,13 @@ def mirror_pad(ts: TileSet, pad: int) -> TileSet:
         ((0, 0), (pad, pad), (pad, pad), (0, 0)),
         mode="reflect",
     )
-    mk = np.pad(
-        ts.masks,
-        ((0, 0), (pad, pad), (pad, pad)),
-        mode="constant",
-        constant_values=IGNORE_LABEL,
-    )
+    if pad_masks:
+        mk = np.pad(
+            ts.masks,
+            ((0, 0), (pad, pad), (pad, pad)),
+            mode="constant",
+            constant_values=IGNORE_LABEL,
+        )
+    else:
+        mk = ts.masks  # shared reference, NOT in padded coordinates
     return TileSet(images=im, masks=mk, valid_hw=ts.valid_hw.copy(), mean=ts.mean, std=ts.std)

@@ -84,7 +84,11 @@ def _fill_padded_context(padded: TileSet, pad: int) -> TileSet:
     H, W = Hp - 2 * pad, Wp - 2 * pad
     for t in range(T):
         h, w = (int(x) for x in padded.valid_hw[t])
-        if (h < pad or w < pad) and (h < H or w < W):
+        if (h <= pad or w <= pad) and (h < H or w < W):
+            # <= not <: at h == pad exactly, np.pad reflect sets
+            # out[0] = in[pad], and row `pad` of the mirror_pad source
+            # was the first PACK-SLACK row (zeros), not tile data — the
+            # outermost mirror row/col was corrupt (review r2, round 2).
             # Tiles SHORTER than the pad margin in a pack with slack
             # (review r2): mirror_pad's top/left bands reflected packed
             # rows/cols that included zero slack, and _reflect_fill's
@@ -164,13 +168,21 @@ class Inferencer:
         # beyond their valid edge, exactly like the reference's per-tile
         # mirror pad ([R] manipulate_border_array; SURVEY.md C14) — the
         # pack's zero fill would leak zeros into their edge windows.
-        self.tiles = tiles
-        self.padded = _fill_padded_context(mirror_pad(tiles, self.pad),
-                                           self.pad)
+        # NOTE: only valid_hw / padded shape survive as attributes —
+        # pinning the TileSet (or the float32 padded copy) would hold
+        # dataset-sized host arrays for the Inferencer's lifetime on top
+        # of the packed storage copy (review r2; same rule as
+        # BalancedPatchSampler). pad_masks=False: inference never reads
+        # padded masks.
+        padded = _fill_padded_context(
+            mirror_pad(tiles, self.pad, pad_masks=False), self.pad)
+        self.valid_hw = np.asarray(tiles.valid_hw)
+        self.padded_hw = padded.images.shape[1:3]
         from dynseg.data.tiles import storage_dtype
 
-        sd = storage_dtype(self.padded.images)
-        packed = self.padded.images.astype(sd)
+        sd = storage_dtype(padded.images)
+        packed = padded.images.astype(sd, copy=False)
+        del padded
         # Whole-set device residency is the fast path (zero re-upload),
         # but a big test set (hundreds of production tiles) must not OOM:
         # past the budget, tiles stay on host and stream one at a time
@@ -346,8 +358,8 @@ class Inferencer:
             tile_arr, h, w = override
             Hp, Wp = (int(x) for x in tile_arr.shape[:2])
         else:
-            h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
-            Hp, Wp = self.padded.images.shape[1:3]
+            h, w = (int(x) for x in self.valid_hw[tile_idx])
+            Hp, Wp = self.padded_hw
         max_h = Hp - 2 * self.pad
         max_w = Wp - 2 * self.pad
         b_r = min(block, max_h)
@@ -438,7 +450,7 @@ class Inferencer:
         so the valid block stays at [pad : pad+h'] for every transform.
         Costs 8x compute and compiles per distinct tile size (opt-in)."""
         mode = self.cfg.infer.mode if mode is None else mode
-        h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
+        h, w = (int(x) for x in self.valid_hw[tile_idx])
         p = self.pad
         solo = self._tile(tile_idx)[: h + 2 * p, : w + 2 * p]
         acc = None
@@ -508,8 +520,8 @@ class Inferencer:
             tile, h, w = override
             Hp, Wp = (int(x) for x in tile.shape[:2])
         else:
-            h, w = (int(x) for x in self.tiles.valid_hw[tile_idx])
-            Hp, Wp = self.padded.images.shape[1:3]
+            h, w = (int(x) for x in self.valid_hw[tile_idx])
+            Hp, Wp = self.padded_hw
             tile = self._tile(tile_idx)
         prob = jax.device_put(
             jnp.zeros((Hp, Wp, self.nc), jnp.float32), self._repl

@@ -116,7 +116,10 @@ class Trainer:
         if mesh is None:
             n = cfg.train.num_devices
             devs = np.array(jax.devices()[:n])
-            assert len(devs) == n, f"need {n} devices, have {len(jax.devices())}"
+            if len(devs) != n:  # ValueError, not assert (vanishes under -O)
+                raise ValueError(
+                    f"--num_devices {n} but only {len(jax.devices())} "
+                    f"devices are visible")
             mesh = jax.sharding.Mesh(devs, ("data",))
         self.mesh = mesh
         n_dev = int(mesh.devices.size)
@@ -564,6 +567,8 @@ def train_loop(
                 consume_one()
 
             def crossed(every: int) -> bool:
+                if every <= 0:  # 0 disables a periodic action (review r2:
+                    return False  # --eval_every 0 used to ZeroDivisionError)
                 return prev_it // every != it // every
 
             if crossed(log_every):
@@ -577,6 +582,13 @@ def train_loop(
                 t0 = time.perf_counter()
                 patches = 0
             if on_eval is not None and crossed(cfg.train.eval_every):
+                # Drain pending scores first — cli's on_eval saves the
+                # BEST checkpoint with scheduler.state_dict(), which must
+                # reflect every completed batch just like the periodic
+                # path below (review r2: a best checkpoint could lag the
+                # weights by depth*k batches of score updates).
+                while pending:
+                    consume_one()
                 on_eval(it, state)
             if checkpointer is not None and crossed(cfg.train.checkpoint_every):
                 # Drain pending scores first so the checkpointed scheduler

@@ -30,7 +30,7 @@ from dynseg.models.dilated import build_model
 def profile(ts, label, cfg, variables, scales):
     inf = Inferencer(cfg, ts)
     h, w = (int(v) for v in ts.valid_hw[0])
-    Hp, Wp = inf.padded.images.shape[1:3]
+    Hp, Wp = inf.padded_hw
     B = cfg.infer.window_batch
 
     # ---- window mode (product path: predict_tile), per-scale -----------

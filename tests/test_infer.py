@@ -69,7 +69,7 @@ def test_overlap_add_matches_host_reference(rng):
     # host reference: same windows, per-window forward, numpy accumulate
     s, stride = 16, 4
     pad = inf.pad
-    padded = np.asarray(inf.padded.images[0])
+    padded = np.asarray(inf.images[0], np.float32)  # packed storage == padded values
     Hp, Wp = padded.shape[:2]
     rows = window_origins(pad, pad + h, s, stride, Hp - s)
     cols = window_origins(pad, pad + w, s, stride, Wp - s)
@@ -103,7 +103,7 @@ def test_dense_mode_matches_whole_tile_forward(rng):
 
     # whole-tile reference: same mirror pad, crop valid region
     h, w = 45, 37
-    padded = np.asarray(inf.padded.images[0])
+    padded = np.asarray(inf.images[0], np.float32)  # packed storage == padded values
     norm = (padded - ts.mean) / ts.std
     logits = model.apply(variables, jnp.asarray(norm)[None], train=False)[0]
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))
@@ -529,3 +529,26 @@ def test_tta_dense_honors_explicit_block_halo(rng, monkeypatch):
     monkeypatch.setattr(Inferencer, "_dense_device", spy)
     inf.predict_tile_dense(variables, 0, block=20, halo=24, tta=True)
     assert seen and all(bh == (20, 24) for bh in seen)
+
+
+def test_fill_padded_context_h_equals_pad_boundary(rng):
+    """review r2 (round 2): the mirror-rebuild condition used h < pad, so
+    a tile whose valid height/width is EXACTLY pad reflected the pack's
+    first zero-slack row into the outermost mirror row (np.pad reflect
+    sets out[0] = in[pad], and in[pad] is the first slack row when
+    h == pad). The padded crop must equal the tile padded alone."""
+    from dynseg.data.tiles import mirror_pad, pack_tiles
+    from dynseg.infer import _fill_padded_context
+
+    pad = 16
+    for h, w in ((16, 16), (16, 40), (40, 16)):  # ==pad on 1 or 2 axes
+        tile = rng.uniform(1, 255, size=(h, w, 3)).astype(np.float32)
+        big = rng.uniform(1, 255, size=(40, 40, 3)).astype(np.float32)
+        zeros = lambda im: np.zeros(im.shape[:2], np.int32)
+        ts = pack_tiles([tile, big], [zeros(tile), zeros(big)])
+        padded = _fill_padded_context(
+            mirror_pad(ts, pad, pad_masks=False), pad)
+        solo = np.pad(tile, ((pad, pad), (pad, pad), (0, 0)),
+                      mode="reflect")
+        got = padded.images[0][: h + 2 * pad, : w + 2 * pad]
+        np.testing.assert_array_equal(got, solo, err_msg=f"h={h} w={w}")

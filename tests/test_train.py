@@ -369,3 +369,70 @@ def test_shard_tiles_uneven_count_interleaves_dummies():
     state = trainer.init_state(jax.random.key(0))
     state, m = trainer.train_step(state, 9, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_periodic_every_zero_disables(tiles):
+    """review r2 (round 2): --eval_every 0 / --checkpoint_every 0 /
+    log_every=0 used to ZeroDivisionError on the first loop iteration
+    (after minutes of bucket compiles on a real run); 0 now means
+    'disabled' for every periodic action."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, eval_every=0, checkpoint_every=0, niter=4))
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    sched = ScaleScheduler(cfg.sched)
+    fired = []
+    train_loop(cfg, trainer, state, sched, niter=4, log_every=0,
+               on_eval=lambda it, st: fired.append(("eval", it)),
+               checkpointer=lambda *a: fired.append(("ckpt",)),
+               log=lambda *_: None)
+    assert fired == []
+
+
+def test_on_eval_sees_drained_scheduler_scores(tiles):
+    """review r2 (round 2): with metric_fetch_depth > 1 the eval callback
+    (which saves the BEST checkpoint incl. scheduler.state_dict()) could
+    observe a scheduler lagging the weights by depth*k batches of score
+    updates; the loop now drains pending metrics before on_eval, same as
+    the periodic-checkpoint path."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, eval_every=3, niter=9, metric_fetch_depth=4))
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+
+    class CountingScheduler(ScaleScheduler):
+        n_select = 0
+        n_update = 0
+
+        def select(self):
+            type(self).n_select += 1
+            return super().select()
+
+        def update(self, *a, **kw):
+            type(self).n_update += 1
+            return super().update(*a, **kw)
+
+    sched = CountingScheduler(cfg.sched)
+    seen = []
+    train_loop(cfg, trainer, state, sched, niter=9, log_every=100,
+               on_eval=lambda it, st: seen.append(
+                   (CountingScheduler.n_select, CountingScheduler.n_update)),
+               log=lambda *_: None)
+    assert seen, "eval_every=3 over 9 iters must fire"
+    for n_sel, n_upd in seen:
+        assert n_upd == n_sel, (
+            f"on_eval observed {n_sel - n_upd} undrained score updates")
+
+
+def test_num_devices_mismatch_raises_value_error(tiles):
+    """review r2 (round 2): was a bare assert (vanishes under python -O,
+    silently training on fewer chips than requested)."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_devices=99))
+    with pytest.raises(ValueError, match="99"):
+        Trainer(cfg, tiles[0])
