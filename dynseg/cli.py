@@ -163,7 +163,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["window", "dense"],
                    help="window = reference-parity multi-scale voting; "
                         "dense = blockwise whole-tile forward (~20x faster)")
-    p.add_argument("--dense_block", type=int, default=256)
+    p.add_argument("--dense_block", type=int, default=None,
+                   help="dense-mode block size (default 256 on-device; "
+                        "--operation serve defaults to its own 1024 "
+                        "unless this is set explicitly)")
     p.add_argument("--dense_halo", type=int, default=40)
     p.add_argument("--scan_chunk", type=int, default=8,
                    help="window batches fused per device launch (static "
@@ -239,7 +242,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             save_prediction_maps=not args.no_prediction_maps,
             save_error_maps=args.error_maps,
             mode=args.inference_mode,
-            dense_block=args.dense_block,
+            dense_block=(256 if args.dense_block is None
+                         else args.dense_block),
             dense_halo=args.dense_halo,
             scan_chunk=args.scan_chunk,
             dense_scan_chunk=args.dense_scan_chunk,
@@ -580,6 +584,15 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
     if stats is not None:
         _warn_protocol_mismatch(cfg, stats, log)
         cfg = _adopt_checkpoint_model(cfg, stats)
+        if test_tiles.num_bands != cfg.model.num_input_bands:
+            # Same clean refusal as run_predict — without it a band
+            # mismatch (e.g. checkpoint trained --extra_bands dsm, eval
+            # run without) dies as a cryptic XLA shape error inside jit
+            # (review r2, round 2).
+            raise ValueError(
+                f"test tiles have {test_tiles.num_bands} bands but the "
+                f"checkpoint was trained on {cfg.model.num_input_bands} "
+                f"(match the training --bands/--extra_bands)")
         # Normalize evaluation with the TRAINING-TIME stats (the sidecar),
         # exactly like run_predict — not stats recomputed from today's
         # on-disk training split.
@@ -636,7 +649,7 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     host RAM on arbitrarily large batches); chunk shapes are bucketed to
     512-px multiples so successive chunks reuse compiled programs."""
     from dynseg.checkpoint import CheckpointManager
-    from dynseg.data.datasets import list_rasters, load_rasters
+    from dynseg.data.datasets import list_rasters, load_rasters, raster_names
     from dynseg.infer import Inferencer
     from dynseg.sched.scheduler import ScaleScheduler
     from dynseg.train import init_state_template
@@ -654,6 +667,10 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     cfg = _adopt_checkpoint_model(cfg, stats)
 
     files = list_rasters(predict_path)
+    # Output stems deduped over the FULL list before chunking — per-chunk
+    # dedup let same-stem files in different chunks overwrite each
+    # other's prediction maps (review r2, round 2).
+    all_names = raster_names(files)
     chunk = predict_chunk if predict_chunk > 0 else len(files)
     pad_mult = 512 if predict_chunk > 0 else 1  # bucket chunk shapes
 
@@ -681,7 +698,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     # bucketed shapes hit JAX's executable cache instead of re-tracing
     for lo in range(0, len(files), chunk):
         tiles, names = load_rasters(files[lo : lo + chunk],
-                                    pad_to_multiple=pad_mult)
+                                    pad_to_multiple=pad_mult,
+                                    names=all_names[lo : lo + chunk])
         if tiles.num_bands != cfg.model.num_input_bands:
             raise ValueError(
                 f"rasters have {tiles.num_bands} bands but the checkpoint "
@@ -918,7 +936,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "--port", str(args.serve_port),
                 "--window_batch", str(args.window_batch),
                 "--max_request_mb", str(args.max_request_mb),
-            ])
+            ] + (  # forward only when explicit — serve's own default is
+                # 1024 (remote-dispatch amortization), not infer's 256
+                # (review r2: an explicit --dense_block was silently
+                # dropped here)
+                ["--dense_block", str(args.dense_block)]
+                if args.dense_block is not None else []))
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler,

@@ -292,6 +292,7 @@ def load_coffee(path: str, fold: int, test_only: bool = False
         if not img_files:
             raise FileNotFoundError(f"no image found under {root}")
         imgs, masks = [], []
+        pairs: List[Tuple[str, str]] = []
         for f in img_files:
             base, ext = os.path.splitext(f)
             mask_file = next(
@@ -304,8 +305,13 @@ def load_coffee(path: str, fold: int, test_only: bool = False
             )
             if mask_file is None:
                 raise FileNotFoundError(f"no mask for {f}")
-            im = _read_raster(f)
-            mk = _read_raster(mask_file)
+            pairs.append((f, mask_file))
+        # Shared decode pool, like the ISPRS/predict paths — serial
+        # decode was the dominant host cost on multi-file counties
+        # (review r2, round 2).
+        decoded = list(_decode_pool().map(
+            lambda p: (_read_raster(p[0]), _read_raster(p[1])), pairs))
+        for im, mk in decoded:
             if mk.ndim == 3:
                 mk = (mk[..., 1] > 127).astype(np.int32)  # green = coffee
             elif mk.max(initial=0) > 1:
@@ -590,19 +596,12 @@ def load_unlabeled(path: str, pad_to_multiple: int = 1
     return load_rasters(list_rasters(path), pad_to_multiple)
 
 
-def load_rasters(files: List[str], pad_to_multiple: int = 1
-                 ) -> Tuple[TileSet, List[str]]:
-    def load_one(f: str) -> np.ndarray:
-        im = _read_raster(f)
-        if im.ndim == 2:
-            im = im[..., None]
-        return im.astype(np.float32)
-
-    # Decode in a thread pool: PIL/numpy release the GIL during the
-    # actual decode, and a production predict batch is hundreds of tiles
-    # — serial decoding was the dominant host cost before first launch.
-    ims = list(_decode_pool().map(load_one, files))
-    mks = [np.full(im.shape[:2], IGNORE_LABEL, np.int32) for im in ims]
+def raster_names(files: List[str]) -> List[str]:
+    """Unique output stems for a raster batch. Deduplication is over the
+    WHOLE list — chunked prediction must compute names once for the full
+    file list and slice, or a.png in chunk 1 and a.tif in chunk 2 both
+    become 'a' and the second prediction map silently overwrites the
+    first (review r2, round 2)."""
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
     if len(set(names)) != len(names):
         # tile1.tif + tile1.png would both write prediction_tile1.png,
@@ -619,10 +618,31 @@ def load_rasters(files: List[str], pad_to_multiple: int = 1
             seen[n] = k + 1
             uniq.append(n if k == 0 else f"{n}_{k}")
         names = uniq
+    return names
+
+
+def load_rasters(files: List[str], pad_to_multiple: int = 1,
+                 names: Optional[List[str]] = None
+                 ) -> Tuple[TileSet, List[str]]:
+    def load_one(f: str) -> np.ndarray:
+        im = _read_raster(f)
+        if im.ndim == 2:
+            im = im[..., None]
+        return im.astype(np.float32)
+
+    # Decode in a thread pool: PIL/numpy release the GIL during the
+    # actual decode, and a production predict batch is hundreds of tiles
+    # — serial decoding was the dominant host cost before first launch.
+    ims = list(_decode_pool().map(load_one, files))
+    mks = [np.full(im.shape[:2], IGNORE_LABEL, np.int32) for im in ims]
+    if names is None:
+        names = raster_names(files)
+    elif len(names) != len(files):
+        raise ValueError(f"{len(names)} names for {len(files)} files")
     # NOTE: no reflect fill here — the Inferencer extends each tile's
     # mirrored context after ITS padding step (infer._fill_padded_context),
     # which is the only placement that keeps chunked == unchunked.
-    return pack_tiles(ims, mks, pad_to_multiple=pad_to_multiple), names
+    return pack_tiles(ims, mks, pad_to_multiple=pad_to_multiple), list(names)
 
 
 LOADERS = {

@@ -46,19 +46,21 @@ import numpy as np
 
 from dynseg.export import ExportedPredictor
 
+# Upper bound on client-requested window scales: padding/probability
+# buffers grow quadratically in max(scales), so this is a DoS guard, not
+# a modeling limit (trained scales are 25-65 px).
+MAX_WINDOW_SCALE = 512
+
 
 def _mirror_pad(img: np.ndarray, pad: int) -> np.ndarray:
-    """Reflect-pad; applied in steps because numpy's reflect mode caps a
-    single application at dim-1 (tiny rasters with a large halo). A
-    1-pixel dimension cannot reflect at all — pad the remainder by edge
-    replication instead of spinning."""
-    while pad > 0:
-        step = min(pad, img.shape[0] - 1, img.shape[1] - 1)
-        if step == 0:
-            return np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-        img = np.pad(img, ((step, step), (step, step), (0, 0)), mode="reflect")
-        pad -= step
-    return img
+    """One native np.pad reflect — the SAME call infer's mirror_pad makes
+    (numpy >= 2 applies repeated reflection when pad >= dim and
+    replicates 1-px dims), so serving matches the on-device Inferencer
+    for tiny rasters with large halos too. Review r2: a stepped
+    reimplementation here measurably DIVERGED from native whenever pad
+    exceeded a dimension (step clamping changes the reflection pattern),
+    silently breaking serve-vs-Inferencer parity on small inputs."""
+    return np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
 class ServingEngine:
@@ -156,7 +158,15 @@ class ServingEngine:
         for the f32-probs path this replaces) — call-count dominated, so
         the default block is large."""
         halo = int(self.p.manifest.get("dense_labels_halo", 0))
-        assert img.dtype == np.uint8 and self.p.has("dense_labels")
+        # Explicit errors, not assert (stripped under python -O — an
+        # embedder calling this directly would get silently-wrapped
+        # float pixels instead of a refusal; review r2).
+        if not self.p.has("dense_labels"):
+            raise ValueError("artifact has no dense_labels entry point")
+        if img.dtype != np.uint8:
+            raise ValueError(
+                f"dense_labels is the uint8 fast path, got {img.dtype}; "
+                "use dense() for float rasters")
         h, w = img.shape[:2]
         big = _mirror_pad(img, halo)
         b = max(1, min(block or self.dense_block, h, w))
@@ -182,6 +192,10 @@ class ServingEngine:
         # not by a copy that can drift.
 
         scales = [int(s) for s in (scales or self.scales)]
+        if any(s < 1 or s > MAX_WINDOW_SCALE for s in scales):
+            raise ValueError(  # defense in depth for embedder calls —
+                # the HTTP layer rejects before decoding the body
+                f"scales must be in [1, {MAX_WINDOW_SCALE}], got {scales}")
         h, w = img.shape[:2]
         pad = max(scales)
         src = img if img.dtype == np.uint8 else img.astype(np.float32)
@@ -386,16 +400,26 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
             t0 = time.monotonic()
             mode = "window"
 
-            def drain():
-                # Discard the body in bounded chunks BEFORE any error
+            def drain(limit=8 << 20):
+                # Discard UP TO `limit` bytes of the body BEFORE an error
                 # response — responding mid-upload breaks the client's
-                # send and it never sees the status.
-                left = int(self.headers.get("Content-Length", 0) or 0)
-                while left > 0:
-                    chunk = self.rfile.read(min(left, 1 << 20))
+                # send and it never sees the status. Beyond the limit,
+                # stop reading and close the connection after responding:
+                # sinking an arbitrarily large declared body let one
+                # request tie up a handler thread and the full link for
+                # the whole upload before the 413 (review r2).
+                try:
+                    left = int(self.headers.get("Content-Length", 0) or 0)
+                except ValueError:
+                    left = 0
+                while left > 0 and limit > 0:
+                    chunk = self.rfile.read(min(left, limit, 1 << 20))
                     if not chunk:  # client hung up mid-upload
-                        break
+                        return
                     left -= len(chunk)
+                    limit -= len(chunk)
+                if left > 0:
+                    self.close_connection = True
 
             def client_error(status, msg):
                 drain()
@@ -428,9 +452,22 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                     if not scales or any(s < 1 for s in scales):
                         return client_error(
                             400, f"scales must be positive, got {scales}")
+                    if any(s > MAX_WINDOW_SCALE for s in scales):
+                        # Host buffers grow O((H + 2*max(scales))^2) and
+                        # window batches O(B*s^2) — an unbounded client
+                        # value could OOM-kill the server with one
+                        # request (review r2). Trained scales are tens
+                        # of px; the cap is already absurdly generous.
+                        return client_error(
+                            400, f"scales capped at {MAX_WINDOW_SCALE}, "
+                                 f"got {scales}")
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                 except ValueError:
+                    return client_error(400, "malformed Content-Length")
+                if n < 0:
+                    # rfile.read(-1) would read to EOF, bypassing the
+                    # size cap entirely (review r2).
                     return client_error(400, "malformed Content-Length")
                 if n > max_request_mb * 1024 * 1024:
                     return client_error(

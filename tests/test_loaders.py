@@ -364,3 +364,32 @@ def test_decode_pool_preserves_file_content_pairing(tmp_path):
         tile = np.asarray(ts.images[i])[:h, :w]  # pack_tiles pads
         assert tile[1, 1, 0] == i * 5 + 1, i
         np.testing.assert_array_equal(tile[0, 0], [i, i + 1, i + 2])
+
+
+def test_raster_names_dedup_is_chunk_invariant(tmp_path):
+    """review r2 (round 2): run_predict with --predict_chunk computed
+    names per chunk, so a.png in chunk 1 and a.npy in chunk 2 both
+    became 'a' and the later prediction map overwrote the earlier one.
+    Names are now deduped over the full list and sliced per chunk."""
+    from dynseg.data.datasets import load_rasters, raster_names
+
+    files = [str(tmp_path / f) for f in
+             ("a.png", "a.npy", "b.png", "a_png.npy")]
+    for f in files:
+        if f.endswith(".npy"):
+            np.save(f, np.zeros((4, 4, 3), np.float32))
+        else:
+            from PIL import Image
+            Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(f)
+    whole = raster_names(files)
+    assert len(set(whole)) == len(files)
+    # chunked loading with sliced precomputed names reproduces the
+    # whole-list names exactly (what run_predict now does)
+    got = []
+    for lo in range(0, len(files), 1):
+        _, names = load_rasters(files[lo:lo + 1], names=whole[lo:lo + 1])
+        got += names
+    assert got == whole
+    # and the OLD behavior (per-chunk dedup) is what the helper avoids:
+    per_chunk = [raster_names([f])[0] for f in files]
+    assert len(set(per_chunk)) < len(files)  # collides without the fix

@@ -408,3 +408,68 @@ def test_error_status_codes(served, rng):
         assert r.status == 200
     finally:
         srv.shutdown(); srv.server_close(); th.join(timeout=5)
+
+
+def test_dos_guards(served, rng):
+    """review r2 (round 2): three request-level DoS vectors —
+    negative Content-Length (read-to-EOF bypassed the size cap), an
+    unbounded client scales= value (O(max(scales)^2) host allocations),
+    and an unbounded error-path body drain (now capped; the connection
+    closes instead)."""
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=8, max_request_mb=1)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    img = rng.uniform(0, 255, size=(12, 12, 3)).astype(np.float32)
+    buf = io.BytesIO(); np.save(buf, img)
+    try:
+        # huge scales -> 400 BEFORE the body is decoded
+        req = urllib.request.Request(
+            f"{base}/predict?mode=window&scales=30000000",
+            data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert "capped" in json.loads(ei.value.read())["error"]
+
+        # negative Content-Length -> 400 (never rfile.read(-1))
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                          timeout=10)
+        conn.putrequest("POST", "/predict?mode=dense")
+        conn.putheader("Content-Type", "application/x-npy")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+
+        # engine-level defense in depth for embedders
+        from dynseg.serve import MAX_WINDOW_SCALE, ServingEngine
+        from dynseg.export import ExportedPredictor
+
+        eng = ServingEngine(ExportedPredictor.load(out), window_batch=8)
+        with pytest.raises(ValueError, match=str(MAX_WINDOW_SCALE)):
+            eng.window(img, scales=[MAX_WINDOW_SCALE + 1])
+        with pytest.raises(ValueError, match="uint8"):
+            eng.dense_labels(img)  # float raster must be refused
+    finally:
+        srv.shutdown(); srv.server_close(); th.join(timeout=5)
+
+
+def test_mirror_pad_matches_numpy_native(rng):
+    """review r2 (round 2): _mirror_pad must be EXACTLY np.pad reflect —
+    the Inferencer's convention — including pad > dim (a stepped
+    reimplementation diverged there, breaking serve-vs-device parity on
+    tiny rasters with large halos)."""
+    from dynseg.serve import _mirror_pad
+
+    for h, w, pad in ((5, 4, 11), (2, 7, 9), (1, 6, 4), (3, 4, 3)):
+        img = rng.uniform(size=(h, w, 2)).astype(np.float32)
+        np.testing.assert_array_equal(
+            _mirror_pad(img, pad),
+            np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect"),
+            err_msg=f"h={h} w={w} pad={pad}")
