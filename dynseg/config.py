@@ -225,6 +225,11 @@ class Config:
         check(len(self.sched.values) >= 1, "--values must name >=1 patch size")
         check(all(int(v) >= 1 for v in self.sched.values),
               f"patch sizes must be >=1, got {tuple(self.sched.values)}")
+        check(len(set(self.sched.values)) == len(self.sched.values),
+              f"--values has duplicates: {tuple(self.sched.values)} — a "
+              f"duplicated scale double-weights the multinomial and then "
+              f"collapses on checkpoint restore (schedule changes across "
+              f"a resume)")
         check(self.train.batch_size >= 1,
               f"batch_size must be >=1, got {self.train.batch_size}")
         check(self.train.niter >= 0,
@@ -241,6 +246,12 @@ class Config:
               f"inference mode {self.infer.mode!r} not in ('window','dense')")
         check(self.infer.eroded_boundary_radius >= 0,
               "eval_eroded_boundaries must be >=0")
+        check(self.infer.dense_block >= 1,
+              f"dense_block must be >=1, got {self.infer.dense_block}")
+        check(self.infer.dense_halo >= 0,
+              f"dense_halo must be >=0, got {self.infer.dense_halo} "
+              f"(wrong block slicing; use 0 for the cheapest approximate "
+              f"dense mode)")
         check(not self.train.shard_tiles or self.train.num_devices > 1,
               "--shard_tiles requires --num_devices > 1 (a device mesh "
               "to shard the tile axis over)")

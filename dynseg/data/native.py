@@ -42,11 +42,24 @@ def _load() -> Optional[ctypes.CDLL]:
             # when position_tables.cc is newer than the .so and is a
             # near-free no-op otherwise. Gating on .so-missing silently
             # served stale binaries after source edits (review r2).
+            # Under an inter-PROCESS flock: concurrent CLI runs (e.g.
+            # two folds started together) used to race two g++ -o writes
+            # into the same .so, persisting a corrupt binary that later
+            # dependency checks treated as up-to-date (review r2, r2).
             try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    capture_output=True, timeout=120, check=True,
-                )
+                os.makedirs(os.path.join(_NATIVE_DIR, "build"), exist_ok=True)
+                import fcntl
+
+                with open(os.path.join(_NATIVE_DIR, "build", ".lock"),
+                          "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    try:
+                        subprocess.run(
+                            ["make", "-C", _NATIVE_DIR],
+                            capture_output=True, timeout=120, check=True,
+                        )
+                    finally:
+                        fcntl.flock(lk, fcntl.LOCK_UN)
             except Exception:
                 if not os.path.exists(_SO_PATH):
                     return None  # no library at all; else use existing
@@ -99,9 +112,18 @@ def build_position_tables(
 def shuffle_table(table: np.ndarray, seed: int) -> None:
     """In-place Fisher–Yates shuffle of an (n,3) int32 table."""
     lib = _load()
-    assert lib is not None, "native library unavailable"
-    assert table.dtype == np.int32 and table.ndim == 2 and table.shape[1] == 3
-    assert table.flags["C_CONTIGUOUS"]
+    # Explicit errors, not assert (stripped under python -O): the C
+    # Fisher-Yates swaps raw memory, and a non-contiguous view's base
+    # pointer would silently corrupt the parent array (review r2, r2).
+    if lib is None:
+        raise RuntimeError("native library unavailable — gate calls on "
+                           "native.available()")
+    if not (table.dtype == np.int32 and table.ndim == 2
+            and table.shape[1] == 3 and table.flags["C_CONTIGUOUS"]):
+        raise ValueError(
+            f"shuffle_table needs a C-contiguous (n, 3) int32 array, got "
+            f"{table.dtype} {table.shape} contiguous="
+            f"{table.flags['C_CONTIGUOUS']}")
     lib.shuffle_table(
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         table.shape[0],

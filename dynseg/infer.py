@@ -335,7 +335,24 @@ class Inferencer:
         (~34 px for rate6, ~37 for grsl_rate8; default 40) and <= the tile
         mirror pad. With tta (default cfg.infer.tta) the prob map is the
         8-way dihedral fusion at the same block/halo."""
-        assert halo <= self.pad, (halo, self.pad)
+        from dynseg.models.dilated import receptive_radius
+
+        rad = receptive_radius(self.cfg.model)
+        if halo < rad:
+            # Legal (halo=0 exports are deliberately approximate) but
+            # never silent: pixels within rad-halo of block borders see
+            # a truncated receptive field (review r2, round 2).
+            import warnings
+
+            warnings.warn(
+                f"dense_halo {halo} < receptive radius {rad} of "
+                f"{self.cfg.model.net_type}: block-border pixels are "
+                f"approximate (pass --dense_halo {rad} for exactness)",
+                RuntimeWarning, stacklevel=2)
+        if halo > self.pad:
+            raise ValueError(  # not assert: vanishes under python -O
+                f"dense halo {halo} exceeds the tile mirror pad "
+                f"{self.pad}")
         tta = self.cfg.infer.tta if tta is None else tta
         if tta:
             pred, prob = self._tta_device(

@@ -116,6 +116,21 @@ class DilatedDenseNet(nn.Module):
         return ScoreHead(self.cfg.num_classes, compute_dtype=dtype)(x)
 
 
+def receptive_radius(cfg: ModelConfig) -> int:
+    """Receptive-field RADIUS of a variant (half the diameter, rounded
+    up — even kernels have an asymmetric SAME footprint). Dense-mode
+    blockwise inference is exact iff its halo >= this (infer.py); the
+    CLI warns when a user-supplied --dense_halo falls short."""
+    arch = _ARCH["dilated_icpr_rate6"] if (
+        cfg.net_type == "dilated_icpr_rate6_densely") else _ARCH[cfg.net_type]
+    diameter = 1
+    for k, _, dil, pool in arch:
+        diameter += (k - 1) * dil
+        if pool:
+            diameter += cfg.pool_window - 1
+    return (diameter - 1 + 1) // 2
+
+
 def build_model(cfg: ModelConfig) -> nn.Module:
     """Model factory mirroring the reference's net_type dispatch
     ([R] dynamic.py:≈model_factory; SURVEY.md L1)."""

@@ -98,7 +98,7 @@ def gather_batch(
         from dynseg.ops.pallas_gather import pallas_gather_supported
 
         use_pallas = _is_tpu() and pallas_gather_supported(
-            images.shape, size, positions.shape[0]
+            images.shape, size, positions.shape[0], images.dtype
         )
     if use_pallas:
         from dynseg.ops.pallas_gather import pallas_gather_batch

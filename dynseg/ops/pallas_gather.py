@@ -64,12 +64,27 @@ def _lanes_for(span: int) -> int:
 
 
 def pallas_gather_supported(
-    tile_shape: Tuple[int, int, int, int], size: int, batch: int
+    tile_shape: Tuple[int, int, int, int], size: int, batch: int,
+    dtype=None,
 ) -> bool:
-    """Whether scratch + outputs for this gather fit the VMEM budget."""
+    """Whether scratch + outputs for this gather fit the VMEM budget.
+
+    dtype: the HBM storage dtype of the tiles. Pass it when known —
+    the old estimate mixed the uint8 worst-case ROW count (rt=32) with
+    4-byte ELEMENTS, overestimating uint8 scratch 4x and spuriously
+    falling back to the ~25%-of-step XLA gather for batches that fit
+    (review r2, round 2). None keeps a conservative cross-dtype bound.
+    """
     _, _, _, c = tile_shape
-    rows = _rows_for(size, jnp.uint8)  # worst-case (largest) slack
-    scratch = _N_BUF * rows * _lanes_for(size * (c + 1)) * 4
+    lanes = _lanes_for(size * (c + 1))
+    if dtype is None:  # worst case over the two real storage dtypes
+        scratch = _N_BUF * lanes * max(
+            _rows_for(size, jnp.uint8) * 1,
+            _rows_for(size, jnp.float32) * 4,
+        )
+    else:
+        scratch = (_N_BUF * lanes * _rows_for(size, dtype)
+                   * jnp.dtype(dtype).itemsize)
     outputs = batch * size * size * (c + 1) * 4
     return scratch + outputs < _VMEM_BUDGET
 

@@ -178,14 +178,43 @@ def max_pool_s1(x: jnp.ndarray, window: int = 3) -> jnp.ndarray:
     return pool_forward(x, window)
 
 
+_warned_fallbacks: set = set()
+
+
+def _warn_fallback(shape, dtype, window) -> None:
+    """max_pool_s1 is only reached when the user explicitly requested
+    --pool_backward pallas, so a silent fallback means they believe the
+    K4 kernel is active while every step pays the select_and_scatter
+    cost the flag exists to remove (review r2, round 2). Trace-time, so
+    it fires once per distinct bucket shape."""
+    key = (tuple(shape), str(jnp.dtype(dtype)), window)
+    if key not in _warned_fallbacks:
+        _warned_fallbacks.add(key)
+        import warnings
+
+        warnings.warn(
+            f"--pool_backward pallas requested but unsupported for shape "
+            f"{tuple(shape)} dtype {jnp.dtype(dtype)} window {window} "
+            f"(needs TPU, float32, odd window, C%8==0, VMEM-fitting "
+            f"channel block) — falling back to the XLA VJP",
+            RuntimeWarning, stacklevel=2)
+
+
 def _mp_fwd(x, window):
     y = pool_forward(x, window)
-    return y, (x, y)
+    if pallas_pool_bwd_supported(x.shape, x.dtype, window):
+        return y, (x, y)
+    # Fallback recomputes the forward inside jax.vjp, so y would be a
+    # dead activation-sized residual held across the whole backward
+    # (review r2, round 2) — save only x. The branch is trace-time
+    # static (shape/dtype), matching _mp_bwd's.
+    _warn_fallback(x.shape, x.dtype, window)
+    return y, (x, None)
 
 
 def _mp_bwd(window, res, g):
     x, y = res
-    if pallas_pool_bwd_supported(x.shape, x.dtype, window):
+    if y is not None and pallas_pool_bwd_supported(x.shape, x.dtype, window):
         return (pallas_pool_bwd(x, y, g, window),)
     return (_xla_pool_vjp(x, g, window),)
 

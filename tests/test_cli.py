@@ -228,3 +228,19 @@ def test_protocol_mismatch_warning():
     _warn_protocol_mismatch(
         _cfg(["--dataset", "potsdam", "--fold", "0"]), stats, msgs.append)
     assert not msgs, msgs
+
+
+def test_config_rejects_duplicate_values_and_bad_dense_params():
+    """review r2 (round 2): duplicate --values double-weighted the
+    multinomial and collapsed on restore (schedule changed across a
+    resume); negative --dense_halo produced wrong block slicing."""
+    import dataclasses
+
+    from dynseg.config import Config, InferConfig, SchedulerConfig
+
+    with pytest.raises(ValueError, match="duplicates"):
+        Config(sched=SchedulerConfig(values=(25, 35, 35))).validate()
+    with pytest.raises(ValueError, match="dense_halo"):
+        Config(infer=InferConfig(dense_halo=-1)).validate()
+    with pytest.raises(ValueError, match="dense_block"):
+        Config(infer=InferConfig(dense_block=0)).validate()

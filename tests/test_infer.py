@@ -552,3 +552,23 @@ def test_fill_padded_context_h_equals_pad_boundary(rng):
                       mode="reflect")
         got = padded.images[0][: h + 2 * pad, : w + 2 * pad]
         np.testing.assert_array_equal(got, solo, err_msg=f"h={h} w={w}")
+
+
+def test_dense_small_halo_warns_not_silent(rng):
+    """review r2 (round 2): a dense halo below the net's receptive
+    radius is legal (approximate mode) but was silent; it now warns
+    once, naming the exact halo for exactness."""
+    import warnings as _w
+
+    cfg = cfg_for(scales=(12,))
+    ts = _tileset(rng, h=40, w=40)
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+    inf = Inferencer(cfg, ts)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        inf.predict_tile_dense(variables, 0, block=16, halo=2)
+    assert any("receptive radius" in str(r.message) for r in rec)
+    # halo > pad is now a ValueError, not a stripped assert
+    with pytest.raises(ValueError, match="mirror pad"):
+        inf.predict_tile_dense(variables, 0, block=16, halo=inf.pad + 1)

@@ -68,3 +68,18 @@ def test_sampler_native_vs_numpy_equivalent(rng):
     b = BalancedPatchSampler(ts, 3, pad=0, seed=0, use_native=False)
     # same positions drawn: tables identical (raster order) + same host rng
     np.testing.assert_array_equal(a.sample(64), b.sample(64))
+
+
+def test_shuffle_table_rejects_bad_buffers(rng):
+    """review r2 (round 2): bare asserts vanished under python -O and a
+    non-contiguous view's base pointer went straight to the C
+    Fisher-Yates, silently corrupting the parent array."""
+    from dynseg.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    tab = rng.integers(0, 100, size=(10, 6)).astype(np.int32)
+    with pytest.raises(ValueError, match="contiguous"):
+        native.shuffle_table(tab[:, :3], seed=1)  # non-contiguous view
+    with pytest.raises(ValueError):
+        native.shuffle_table(tab.astype(np.int64)[:, :3].copy(), seed=1)

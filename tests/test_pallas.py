@@ -222,3 +222,48 @@ def test_pallas_pool_bwd_even_window_rejected():
     x = jnp.zeros((1, 8, 8, 8), jnp.float32)
     with pytest.raises(AssertionError, match="even window"):
         pool.pallas_pool_bwd(x, x, x, window=2, interpret=True)
+
+
+def test_gather_supported_is_dtype_aware():
+    """review r2 (round 2): the VMEM estimate mixed the uint8 row count
+    (32-row tiles) with 4-byte elements, overestimating uint8 scratch 4x
+    and spuriously falling back to the XLA gather for batches that fit."""
+    shape = (4, 300, 300, 5)
+    # batch chosen so uint8 fits but f32 does not: outputs 88*65*65*6*4
+    # = 8.9 MB; u8 scratch 0.66 MB (total 9.6 < 10 MB budget), f32
+    # scratch 1.6 MB (total 10.5 > budget).
+    assert pallas_gather_supported(shape, 65, 88, np.uint8)
+    assert not pallas_gather_supported(shape, 65, 88, np.float32)
+    # dtype=None keeps a conservative worst case over both
+    assert pallas_gather_supported(shape, 65, 88) == \
+        pallas_gather_supported(shape, 65, 88, np.float32)
+
+
+def test_pool_backward_fallback_warns_and_matches_xla():
+    """review r2 (round 2): --pool_backward pallas silently no-opped on
+    unsupported shapes/backends (e.g. bf16, C%8!=0, CPU) — the user
+    believed the K4 kernel was active. The fallback now warns at trace
+    time and still computes the exact XLA VJP; the dead y residual is
+    no longer saved."""
+    import warnings as _w
+
+    from dynseg.ops import pool as pool_mod
+    from dynseg.ops.pool import max_pool_s1, pool_forward
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 7, 7, 12)).astype(np.float32))  # C%8!=0 -> unsupported
+
+    def loss(v):
+        return max_pool_s1(v, 3).sum()
+
+    pool_mod._warned_fallbacks.clear()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        g = jax.grad(loss)(x)
+    assert any("falling back to the XLA VJP" in str(r.message) for r in rec)
+
+    def ref_loss(v):
+        return pool_forward(v, 3).sum()
+
+    np.testing.assert_allclose(np.asarray(g),
+                               np.asarray(jax.grad(ref_loss)(x)), atol=1e-6)
