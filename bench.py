@@ -177,11 +177,13 @@ def main():
         except Exception as e:  # noqa: BLE001 — degraded but explicit
             print(f"tf_baseline failed ({e}); using UNCACHED XLA-CPU proxy",
                   file=sys.stderr)
-            # Match the numerator's batch / launch-fusion so the degraded
-            # ratio measures the PLATFORM, not batch-size + dispatch-
-            # amortization differences (review r2). Fewer steps: 1 vCPU.
+            # Match the numerator's batch / launch-fusion (spc=16) so the
+            # degraded ratio measures the PLATFORM, not batch-size +
+            # dispatch-amortization differences (review r2; the proxy had
+            # drifted to spc=4 when the numerator moved to 16). One fused
+            # launch: 1 vCPU.
             baseline = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"},
-                                 batch=100, steps=1, steps_per_call=4)
+                                 batch=100, steps=1, steps_per_call=16)
             baseline["platform"] = "xla-cpu-proxy"
 
     # TPU (or whatever the default platform is) measurement. 16 fused
@@ -205,9 +207,17 @@ def main():
         print("accelerator unavailable — measuring on CPU with provenance "
               "stamped (value is NOT per-chip TPU throughput)",
               file=sys.stderr)
-        result = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"},
-                           batch=16, steps=4)
-        result["platform"] = "cpu"
+        try:
+            result = run_bench({"DYNSEG_BENCH_PLATFORM": "cpu"},
+                               batch=16, steps=4)
+            result["platform"] = "cpu"
+        except Exception as e:  # noqa: BLE001 — even the emergency CPU
+            # leg can time out on the contended 1-vCPU host; the module
+            # contract is ONE JSON line no matter what (review r2, r2).
+            print(f"emergency CPU bench also failed: {str(e)[:300]}",
+                  file=sys.stderr)
+            result = {"patches_per_sec": 0.0, "platform": "none",
+                      "error": str(e)[:200]}
     value = result["patches_per_sec"]
     if result.get("platform") not in ("tpu", "axon"):
         # review r2: a silent JAX CPU fallback (dead tunnel) must never be
@@ -234,6 +244,8 @@ def main():
         line["baseline_platform"] = baseline.get("platform", "unknown")
     if result.get("platform") not in ("tpu", "axon"):
         line["numerator_platform"] = result.get("platform", "unknown")
+    if "error" in result:
+        line["error"] = result["error"]
     if infer:
         line["inference_mpx_per_s"] = infer  # {"window": ..., "dense": ...}
     print(json.dumps(line))

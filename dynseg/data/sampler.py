@@ -74,6 +74,11 @@ class BalancedPatchSampler:
                 tables.append(
                     np.stack([t, r, cc], axis=1).astype(np.int32)
                 )
+        # True per-class pixel counts BEFORE any cap: unbalanced mode's
+        # "uniform over all labeled pixels" weights must reflect the real
+        # distribution — weighting by capped table LENGTHS silently
+        # reshaped it toward class-uniform (review r2, round 2).
+        self._true_counts = np.array([len(t) for t in tables], np.float64)
         if max_positions_per_class > 0:
             for c in range(num_classes):
                 if len(tables[c]) > max_positions_per_class:
@@ -129,8 +134,8 @@ class BalancedPatchSampler:
         ([R] dynamic.py:≈class balancing; SURVEY.md C4).
         """
         if not self.balanced:
-            # uniform over all labeled pixels
-            weights = np.array([len(self.tables[c]) for c in self.present], dtype=np.float64)
+            # uniform over all labeled pixels (pre-cap counts — see init)
+            weights = self._true_counts[self.present].copy()
             weights /= weights.sum()
             counts = self.rng.multinomial(batch, weights)
             parts = [

@@ -32,7 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynseg.config import Config
-from dynseg.data.tiles import IGNORE_LABEL, TileSet, mirror_pad
+from dynseg.data.tiles import (IGNORE_LABEL, TileSet, fill_padded_context,
+                               mirror_pad)
+
+_fill_padded_context = fill_padded_context  # back-compat (tests, embedders)
 from dynseg.metrics import erode_boundaries, scores_from_confusion
 from dynseg.models.dilated import build_model
 
@@ -68,47 +71,8 @@ def _dihedral_inv(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return dihedral_inv(x, k, jnp)
 
 
-def _fill_padded_context(padded: TileSet, pad: int) -> TileSet:
-    """For every tile smaller than the packed shape, extend the tile's
-    OWN mirrored context across the pack slack AND the mirror margin
-    (in place on the freshly-padded array — no extra copy).
-
-    Why after mirror_pad: filling only up to the packed shape and then
-    mirror-padding reflects around the PACK boundary; when the slack is
-    smaller than the window/halo overhang, edge windows would see that
-    wrapped context instead of the tile's own reflection — diverging
-    between pack shapes (caught by review; regression-tested)."""
-    from dynseg.data.tiles import _reflect_fill
-
-    T, Hp, Wp = padded.images.shape[:3]
-    H, W = Hp - 2 * pad, Wp - 2 * pad
-    for t in range(T):
-        h, w = (int(x) for x in padded.valid_hw[t])
-        if (h <= pad or w <= pad) and (h < H or w < W):
-            # <= not <: at h == pad exactly, np.pad reflect sets
-            # out[0] = in[pad], and row `pad` of the mirror_pad source
-            # was the first PACK-SLACK row (zeros), not tile data — the
-            # outermost mirror row/col was corrupt (review r2, round 2).
-            # Tiles SHORTER than the pad margin in a pack with slack
-            # (review r2): mirror_pad's top/left bands reflected packed
-            # rows/cols that included zero slack, and _reflect_fill's
-            # source region would then PROPAGATE that corruption right
-            # and down. Rebuild the tile's whole mirrored crop from the
-            # valid block alone (np.pad reflect handles pad >= dim by
-            # repeated reflection — exactly the solo-tile semantics),
-            # then extend across the remaining pack slack.
-            block = padded.images[t, pad:pad + h, pad:pad + w]
-            crop = np.pad(block, ((pad, pad), (pad, pad), (0, 0)),
-                          mode="reflect")
-            padded.images[t][:2 * pad + h, :2 * pad + w] = crop
-            padded.images[t] = _reflect_fill(
-                padded.images[t], 2 * pad + h, 2 * pad + w)
-        elif h < H or w < W:
-            # Source region includes the top/left mirror rows, so the
-            # fill reproduces a per-tile mirror at the valid edge.
-            padded.images[t] = _reflect_fill(
-                padded.images[t], pad + h, pad + w)
-    return padded
+# _fill_padded_context moved to dynseg.data.tiles (fill_padded_context)
+# so the TRAINING path shares it — back-compat alias below.
 
 
 class Inferencer:

@@ -33,7 +33,8 @@ from flax.core import FrozenDict
 
 from dynseg.config import Config
 from dynseg.data.sampler import BalancedPatchSampler
-from dynseg.data.tiles import IGNORE_LABEL, TileSet, mirror_pad
+from dynseg.data.tiles import (IGNORE_LABEL, TileSet, fill_padded_context,
+                               mirror_pad)
 from dynseg.metrics import balanced_batch_accuracy, batch_accuracy, confusion_matrix
 from dynseg.models.dilated import build_model
 from dynseg.ops.gather import gather_batch
@@ -146,7 +147,14 @@ class Trainer:
 
         # Mirror-pad once so any scheduled patch size centered on a valid
         # pixel stays in-bounds (SURVEY.md C14 + sampler contract).
-        padded = mirror_pad(train_tiles, self.pad)
+        # fill_padded_context: patches near the valid edge of tiles
+        # SMALLER than the packed shape must see the tile's own mirrored
+        # context, not the pack's zero slack — inference always had this
+        # (review r2, round 2: training silently lost reference parity on
+        # exactly the variably-sized ISPRS tile sets). Masks stay IGNORE
+        # in the slack, so sampling and loss are untouched.
+        padded = fill_padded_context(mirror_pad(train_tiles, self.pad),
+                                     self.pad)
 
         # Device-resident tiles. Replicated by default (every chip gathers
         # its own batch shard locally — no patch traffic over ICI); with
@@ -428,7 +436,8 @@ class Trainer:
         """Mirror-pad + device-put a tile set for eval_crops."""
         from dynseg.data.tiles import storage_dtype
 
-        padded = mirror_pad(tiles, self.pad if pad is None else pad)
+        p = self.pad if pad is None else pad
+        padded = fill_padded_context(mirror_pad(tiles, p), p)
         sd = storage_dtype(padded.images)
         return (
             jax.device_put(padded.images.astype(sd), self.repl),

@@ -12,6 +12,17 @@ import time
 from typing import Optional
 
 
+def _coerce(obj):
+    """JSON fallback for numpy/jax scalars and arrays."""
+    try:
+        return float(obj)
+    except (TypeError, ValueError):
+        pass
+    if hasattr(obj, "tolist"):
+        return obj.tolist()
+    return str(obj)
+
+
 class MetricLogger:
     def __init__(self, output_path: Optional[str] = None, echo=print):
         self.echo = echo
@@ -27,7 +38,11 @@ class MetricLogger:
         if self._fh is not None:
             record.setdefault("ts", time.time())
             record.setdefault("msg", message)
-            self._fh.write(json.dumps(record) + "\n")
+            # default: every metric in this codebase is a numpy/jax
+            # scalar — a bare json.dumps raised TypeError mid-training on
+            # the first unwrapped one (review r2, round 2). Numeric-like
+            # values coerce to float, anything else to its repr string.
+            self._fh.write(json.dumps(record, default=_coerce) + "\n")
 
     def __call__(self, message: str) -> None:  # drop-in for log=print
         self.log(message)

@@ -60,3 +60,23 @@ def test_infer_bench_smoke():
         "DYNSEG_BENCH_WIDTH": "0.125",
     })
     assert result and result["window"] > 0 and result["dense"] > 0
+
+
+def test_bench_main_total_failure_still_emits_json(capsys):
+    """review r2 (round 2): if the emergency CPU leg ALSO fails (1-vCPU
+    timeout), main() must still print one JSON line — value 0, platform
+    'none', error recorded — never an uncaught traceback."""
+    bench = _load_bench()
+
+    def fake_run_bench(env_extra, batch, steps, steps_per_call=1):
+        raise RuntimeError("everything is down")
+
+    bench.run_bench = fake_run_bench
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    import json as _json
+    line = _json.loads(out[-1])
+    assert line["value"] == 0.0
+    assert line["numerator_platform"] == "none"
+    assert "error" in line

@@ -217,3 +217,50 @@ def test_texture_benchmark_coarse_pair_locally_ambiguous():
     assert flat_fraction(3) > 0.2   # cell-48: likewise
     assert flat_fraction(0) == 0.0  # cell-2: never flat
     assert flat_fraction(1) == 0.0  # cell-4: never flat
+
+
+def test_training_pad_fills_small_tile_context(rng):
+    """review r2 (round 2): Trainer mirror-padded the PACKED array
+    directly, so patches near the valid edge of tiles smaller than the
+    packed shape gathered normalized zeros as context — inference had
+    the per-tile reflect fill, training did not. put_tiles (and Trainer
+    init) now share fill_padded_context; the padded crop of the small
+    tile must equal the tile padded alone."""
+    from dynseg.config import Config, ModelConfig
+    from dynseg.data.tiles import pack_tiles
+    from dynseg.train import Trainer
+
+    small = rng.uniform(1, 255, size=(24, 20, 3)).astype(np.float32)
+    big = rng.uniform(1, 255, size=(56, 60, 3)).astype(np.float32)
+    zeros = lambda im: np.zeros(im.shape[:2], np.int32)
+    ts = pack_tiles([small, big], [zeros(small), zeros(big)])
+    ts.mean = np.zeros(3, np.float32)
+    ts.std = np.ones(3, np.float32)
+    cfg = Config(model=ModelConfig(num_classes=2, width_multiplier=0.125))
+    trainer = Trainer(cfg, ts)
+    _, padded = trainer.put_tiles(ts)
+    p = trainer.pad
+    solo = np.pad(small, ((p, p), (p, p), (0, 0)), mode="reflect")
+    got = padded.images[0][: 24 + 2 * p, : 20 + 2 * p]
+    np.testing.assert_array_equal(got, solo)
+
+
+def test_unbalanced_sampling_uses_precap_weights(rng):
+    """review r2 (round 2): unbalanced mode weighted classes by CAPPED
+    table lengths, silently reshaping 'uniform over all labeled pixels'
+    toward class-uniform under --max_positions_per_class."""
+    from dynseg.data.sampler import BalancedPatchSampler
+    from dynseg.data.tiles import TileSet
+
+    masks = np.zeros((1, 100, 100), np.int32)
+    masks[0, :10]  = 1  # class 1: 10% of pixels
+    ts = TileSet(images=np.zeros((1, 100, 100, 1), np.float32),
+                 masks=masks, valid_hw=np.array([[100, 100]], np.int32))
+    s = BalancedPatchSampler(ts, num_classes=2, pad=0, seed=0,
+                             balanced=False, use_native=False,
+                             max_positions_per_class=500)
+    pos = s.sample(4000)
+    # class of each draw via the mask
+    cls = masks[0, pos[:, 1], pos[:, 2]]
+    frac1 = (cls == 1).mean()
+    assert 0.05 < frac1 < 0.15, f"expected ~0.10 (true pixel share), got {frac1}"

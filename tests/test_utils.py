@@ -38,3 +38,16 @@ def test_trace_noop():
         pass
     with trace(""):
         pass
+
+
+def test_metric_logger_serializes_numpy_scalars(tmp_path):
+    """review r2 (round 2): a numpy/jax scalar kwarg crashed json.dumps
+    mid-training; the logger now coerces (floats, arrays->lists, repr)."""
+    import numpy as np
+
+    lg = MetricLogger(str(tmp_path), echo=lambda *_: None)
+    lg.log("val", loss=np.float32(0.5), arr=np.arange(3), obj=object())
+    lg.close()
+    rec = json.loads(open(tmp_path / "metrics.jsonl").read().splitlines()[-1])
+    assert rec["loss"] == 0.5 and rec["arr"] == [0, 1, 2]
+    assert isinstance(rec["obj"], str)
