@@ -49,10 +49,14 @@ class TileSet:
 
 def _reflect_fill(a: np.ndarray, h: int, w: int) -> np.ndarray:
     """Fill a (H, W, C) buffer whose valid region is [:h, :w] by
-    reflecting the valid data rightward/downward (numpy 'reflect'
-    semantics, applied in steps since one application caps at dim-1;
-    1-px dims fall back to edge replication). Keeps edge windows
-    identical to a tile packed at its exact size and then mirror-padded."""
+    reflecting the valid data rightward/downward (one-sided numpy
+    'reflect' applied in steps; 1-px dims fall back to edge
+    replication). The filled slack only ever provides CONTEXT beyond a
+    tile's own mirror margin — the exactness-critical band
+    [0, valid+2*pad) is rebuilt with a single native np.pad by
+    fill_padded_context, so stepped-vs-native reflection differences in
+    the far slack are immaterial (and pinned by the unequal-tile parity
+    tests)."""
     H, W = a.shape[:2]
     filled = a[:h, :w]
     for axis, target in ((1, W), (0, H)):
@@ -77,8 +81,8 @@ def pack_tiles(
     Padding area gets IGNORE_LABEL in the mask so it never contributes to
     sampling, loss, or metrics. pad_to_multiple > 1 rounds the packed
     shape up — chunked prediction uses it to BUCKET shapes so different
-    chunks reuse the same compiled programs. (Inference reflect-fills
-    each tile's image padding itself — infer._fill_padded_context.)
+    chunks reuse the same compiled programs. (Trainer and Inferencer both
+    reflect-fill each tile's image padding — fill_padded_context below.)
     """
     assert len(images) == len(masks) and len(images) > 0
     hs = [im.shape[0] for im in images]

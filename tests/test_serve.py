@@ -161,8 +161,9 @@ def test_dense_blockwise_exact(served, rng):
 
 
 def test_mirror_pad_huge_halo(rng):
-    """_mirror_pad must survive a halo larger than the raster (numpy's
-    reflect caps one application at dim-1)."""
+    """_mirror_pad must survive a halo larger than the raster (native
+    np.pad applies repeated reflection for pad >= dim on numpy >= 2 —
+    the convention the Inferencer uses)."""
     from dynseg.serve import _mirror_pad
 
     img = rng.uniform(size=(5, 4, 2)).astype(np.float32)
