@@ -866,6 +866,9 @@ def _write_scores(cfg: Config, scores: dict, scales=None) -> None:
             "scales": ([] if cfg.infer.mode == "dense"
                        else [int(s) for s in (scales or cfg.infer.scales)]),
             "tta": cfg.infer.tta,
+            # predict+score wall time only (setup/restore excluded) —
+            # the number mode-choice comparisons should use
+            "wall_s": scores.get("infer_wall_s"),
         },
     }
     if "eroded" in scores:  # ISPRS boundary-eroded protocol numbers

@@ -600,6 +600,12 @@ def validate_test(
     def launch(t):
         return inf.predict_tile_device(variables, t, scales)
 
+    import time as _time
+
+    t_infer0 = _time.perf_counter()  # after Inferencer setup/upload —
+    # scores["infer_wall_s"] is pure predict+score time, so benchmark
+    # drivers (scripts/mode_gap.py) don't charge dataset regeneration or
+    # checkpoint restore to the mode they're comparing (review r2, r2)
     pending = launch(0) if test_tiles.num_tiles else None
     for t in range(test_tiles.num_tiles):
         nxt = launch(t + 1) if t + 1 < test_tiles.num_tiles else None
@@ -626,6 +632,7 @@ def validate_test(
             cm_eroded += tile_cm(erode_boundaries(gt, erode_r))
     scores = scores_from_confusion(cm)
     scores["predictions"] = preds
+    scores["infer_wall_s"] = round(_time.perf_counter() - t_infer0, 4)
     log(
         f"TOTAL: OA={scores['oa']:.4f} kappa={scores['kappa']:.4f} "
         f"meanF1={scores['mean_f1']:.4f} "

@@ -26,9 +26,11 @@ def main() -> int:
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
+        # safe: jax backends initialize lazily, so config.update before
+        # any device use is honored (same pattern as parity_bracket)
         jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
@@ -40,7 +42,6 @@ def main() -> int:
     from dynseg.models.dilated import build_model
     from dynseg.serve import ServingEngine
 
-    import jax
     import jax.numpy as jnp
 
     cfg = Config(

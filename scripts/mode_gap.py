@@ -26,7 +26,6 @@ import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,6 +39,10 @@ def main() -> int:
     ap.add_argument("--net_type", default="dilated_icpr_rate6")
     ap.add_argument("--out", default="docs/mode_gap.json")
     args = ap.parse_args()
+    if args.seeds < 1:
+        # review r2 (round 2): 0 crashed the summary with
+        # ZeroDivisionError after the (empty) sweep
+        ap.error("--seeds must be >= 1")
 
     from dynseg.cli import (build_argparser, config_from_args,
                             enable_compilation_cache, run_testing,
@@ -86,17 +89,19 @@ def main() -> int:
                     return 1
                 row = {"train": name, "seed": seed}
                 for mode in ("window", "dense"):
-                    # warm the mode's programs so wall_s measures
-                    # inference, not compile+restore (review r2)
+                    # warm the mode's programs, then read the library's
+                    # own inference-only timer: an end-to-end stopwatch
+                    # around run_testing charged dataset regeneration +
+                    # checkpoint restore to the mode, distorting the
+                    # fast (dense) leg most (review r2, round 2)
                     cfg_m = dataclasses.replace(
                         cfg, infer=dataclasses.replace(cfg.infer, mode=mode))
                     run_testing(cfg_m, log=lambda *_: None)
-                    t0 = time.time()
                     s = run_testing(cfg_m, log=lambda *_: None)
                     row[mode] = {
                         "oa": round(float(s["oa"]), 4),
                         "mean_f1": round(float(s["mean_f1"]), 4),
-                        "wall_s": round(time.time() - t0, 1),
+                        "wall_s": float(s["infer_wall_s"]),
                     }
                 row["gap_oa"] = round(row["window"]["oa"] - row["dense"]["oa"], 4)
                 print(json.dumps(row), flush=True)

@@ -30,6 +30,7 @@ def _write_summary(output_path: str, results: list, folds: int) -> None:
             "oa_mean": float(np.mean([r["oa"] for r in results])),
             "oa_std": float(np.std([r["oa"] for r in results])),
             "kappa_mean": float(np.mean([r["kappa"] for r in results])),
+            "kappa_std": float(np.std([r["kappa"] for r in results])),
             "mean_f1_mean": float(np.mean([r["mean_f1"] for r in results])),
             "mean_f1_std": float(np.std([r["mean_f1"] for r in results])),
         })
@@ -53,14 +54,40 @@ def main(argv=None) -> int:
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--output_path", required=True)
     args, passthrough = ap.parse_known_args(argv)
+    if args.folds < 1:
+        ap.error("--folds must be >= 1")
+    if any(p == "--fold" or p.startswith("--fold=") for p in passthrough):
+        # argparse last-wins: a leftover --fold would override the
+        # driver's per-fold value, training the SAME fold N times and
+        # aggregating fake cross-fold statistics (review r2, round 2).
+        ap.error("--fold conflicts with the fold driver (it sets --fold "
+                 "per iteration); drop it from the pass-through flags")
 
-    from dynseg.cli import (build_argparser, config_from_args,
-                            enable_compilation_cache, run_training)
-    from dynseg.utils.logging import MetricLogger
+    from dynseg.cli import enable_compilation_cache
 
     enable_compilation_cache()  # folds share per-scale bucket programs
 
     results = []
+    try:
+        rc = _run_folds(args, passthrough, results)
+    except BaseException:
+        # A TPU outage / OOM raising out of a late fold must not lose
+        # the completed folds' aggregation (review r2, round 2) — write
+        # the partial summary, then re-raise.
+        if results:
+            print("run failed — writing partial summary", file=sys.stderr)
+            _write_summary(args.output_path, results, args.folds)
+        raise
+    if rc is not None:  # preempted inside a fold (summary already written)
+        return rc
+    _write_summary(args.output_path, results, args.folds)
+    return 0
+
+
+def _run_folds(args, passthrough, results):
+    from dynseg.cli import build_argparser, config_from_args, run_training
+    from dynseg.utils.logging import MetricLogger
+
     for fold in range(args.folds):
         out = os.path.join(args.output_path, f"fold{fold}")
         cli_args = build_argparser().parse_args(
@@ -87,9 +114,7 @@ def main(argv=None) -> int:
              "mean_f1": scores["mean_f1"],
              "f1": list(map(float, scores["f1"]))}
         )
-
-    _write_summary(args.output_path, results, args.folds)
-    return 0
+    return None
 
 
 if __name__ == "__main__":

@@ -113,6 +113,10 @@ def main() -> int:
     ap.add_argument("--platform", default="",
                     help="'cpu' forces XLA-CPU (axon ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if args.seeds < 1:
+        # review r2 (round 2): 0 reached summarize() and died on
+        # sum([])/0 after the (empty) sweep
+        ap.error("--seeds must be >= 1")
 
     if args.platform:
         import jax
@@ -160,10 +164,12 @@ def main() -> int:
                 try:
                     r = run_one(args, dist, vals, seed,
                                 update_type=args.update_type)
-                except KeyboardInterrupt:
+                except BaseException:
                     # Keep the in-flight config's COMPLETED seeds too —
                     # each is a full training run; dropping them defeated
                     # the --seed_start extension workflow (review r2).
+                    # BaseException: TPU outages raise RuntimeError, not
+                    # just Ctrl-C (review r2, round 2).
                     if runs:
                         results.append(summarize(
                             name + "(partial)", dist, vals, runs))
@@ -175,6 +181,16 @@ def main() -> int:
             results.append(summarize(name, dist, vals, runs))
     except KeyboardInterrupt:
         print("interrupted — writing partial results")
+    except BaseException:
+        # TPU outages ("Unavailable") raise mid-sweep: hours of completed
+        # training runs must not be lost with them (review r2, round 2) —
+        # write partials, then re-raise for the caller/driver.
+        print("run failed — writing partial results", file=sys.stderr)
+        if results:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump({"partial": True, "results": results}, f, indent=2)
+        raise
 
     results.sort(key=lambda r: -r["oa_mean"])
     payload = {
