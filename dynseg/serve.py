@@ -52,6 +52,24 @@ from dynseg.export import ExportedPredictor
 MAX_WINDOW_SCALE = 512
 
 
+def _drain_capped(rfile, length: int, limit: int = 8 << 20) -> int:
+    """Discard up to `limit` bytes of a request body of declared size
+    `length`; returns the bytes left UNREAD. Draining before an error
+    response keeps small uploads' clients able to read the status
+    (responding mid-upload breaks their send); the cap stops one request
+    with a huge declared body from tying up a handler thread and the
+    link for the whole upload (review r2, round 2 — the connection is
+    closed instead when anything is left)."""
+    left = max(0, length)
+    while left > 0 and limit > 0:
+        chunk = rfile.read(min(left, limit, 1 << 20))
+        if not chunk:  # client hung up mid-upload
+            return 0
+        left -= len(chunk)
+        limit -= len(chunk)
+    return left
+
+
 def _mirror_pad(img: np.ndarray, pad: int) -> np.ndarray:
     """One native np.pad reflect — the SAME call infer's mirror_pad makes
     (numpy >= 2 applies repeated reflection when pad >= dim and
@@ -400,25 +418,16 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
             t0 = time.monotonic()
             mode = "window"
 
-            def drain(limit=8 << 20):
-                # Discard UP TO `limit` bytes of the body BEFORE an error
-                # response — responding mid-upload breaks the client's
-                # send and it never sees the status. Beyond the limit,
-                # stop reading and close the connection after responding:
-                # sinking an arbitrarily large declared body let one
-                # request tie up a handler thread and the full link for
-                # the whole upload before the 413 (review r2).
+            def drain():
                 try:
-                    left = int(self.headers.get("Content-Length", 0) or 0)
+                    length = int(self.headers.get("Content-Length", 0) or 0)
                 except ValueError:
-                    left = 0
-                while left > 0 and limit > 0:
-                    chunk = self.rfile.read(min(left, limit, 1 << 20))
-                    if not chunk:  # client hung up mid-upload
-                        return
-                    left -= len(chunk)
-                    limit -= len(chunk)
-                if left > 0:
+                    length = 0
+                if _drain_capped(self.rfile, length) > 0:
+                    # Anything past the cap: close instead of sinking it
+                    # (no-op under the current HTTP/1.0 default, which
+                    # closes per-request anyway; load-bearing if the
+                    # handler ever upgrades to keep-alive).
                     self.close_connection = True
 
             def client_error(status, msg):
@@ -526,9 +535,19 @@ def warmup(engine: ServingEngine, size: int = 0) -> None:
     engine.window(imgf[:s, :s])
 
 
-def main(argv=None) -> int:
+def _install_sigterm_handler(srv):
+    """SIGTERM = clean drain: finish in-flight requests, close the
+    socket. shutdown() must run OFF the signal-handling (main) thread —
+    it blocks until serve_forever exits. Shared with the test suite so
+    the production wiring is the tested wiring (review r2, round 2).
+    Returns the previous handler."""
     import signal
 
+    return signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+        target=srv.shutdown).start())
+
+
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="dynseg.serve",
         description="Serve a dynseg export over HTTP",
@@ -569,9 +588,7 @@ def main(argv=None) -> int:
                       max_request_mb=args.max_request_mb, engine=engine)
     print(f"listening: {args.export_dir} on "
           f"http://{args.host}:{srv.server_port}", flush=True)
-    # SIGTERM = clean drain (finish in-flight requests, close the socket).
-    signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
-        target=srv.shutdown).start())
+    _install_sigterm_handler(srv)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -255,8 +255,15 @@ def test_keep_best_and_use_best_flow(tmp_path):
     run_training(cfg, log=lambda *_: None, keep_best=True)
     rec = CheckpointManager(str(tmp_path)).best_record()
     assert rec is not None and 0 < rec["step"] <= 12
-    s_best = run_testing(cfg, log=lambda *_: None, use_best=True)
+    lines = []
+    s_best = run_testing(cfg, log=lambda *m: lines.append(str(m[0])),
+                         use_best=True)
     assert s_best["mean_f1"] > 0  # restored + predicted end to end
+    # The restore must actually be the BEST step, not the latest (review
+    # r2, round 2: "> 0" alone passed for ANY checkpoint).
+    restored = [ln for ln in lines if "restored best checkpoint" in ln]
+    assert restored, lines
+    assert f"iteration {rec['step']}" in restored[0], (restored, rec)
 
 
 def test_training_through_on_disk_vaihingen_loader(tmp_path):
@@ -720,10 +727,23 @@ def test_scales_from_scheduler_topk_fusion(tmp_path):
     import re
     picked = [int(x) for x in re.findall(r"\d+", sel[0])]
     assert len(picked) == 1 and picked[0] in (9, 15), sel[0]
+    # ... and it must be the RESTORED scheduler's top scorer, not an
+    # arbitrary trained value (review r2, round 2: the e2e wiring from
+    # checkpoint scores to the selection was unpinned).
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+
+    sched2 = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    CheckpointManager(str(tmp_path)).restore_state(
+        init_state_template(cfg), sched2)
+    assert picked == sched2.best_scales(1), (picked, sched2.state_dict())
     assert 0.0 <= s["oa"] <= 1.0 and s["confusion"].sum() > 0
     # scores.json records which estimator produced the numbers
     import json
     with open(os.path.join(tmp_path, "scores.json")) as f:
         rec = json.load(f)
-    assert rec["inference"] == {"mode": "window", "scales": picked,
-                                "tta": False}, rec["inference"]
+    inference = dict(rec["inference"])
+    assert inference.pop("wall_s") > 0  # library inference-only timer
+    assert inference == {"mode": "window", "scales": picked,
+                         "tta": False}, rec["inference"]

@@ -34,13 +34,25 @@ def cfg_for(scales, window_batch=8, stride_fraction=0.5):
     [(10, 74, 16, 8), (10, 75, 15, 7), (0, 5, 5, 5), (10, 74, 16, 16), (3, 100, 33, 16)],
 )
 def test_window_origins_cover_range(lo, hi, size, stride):
-    lim = hi + size  # generous upper bound
-    origins = window_origins(lo, hi, size, stride, lim)
-    covered = np.zeros(hi + size, bool)
-    for r in origins:
-        assert 0 <= r <= lim
-        covered[r : r + size] = True
-    assert covered[lo:hi].all()
+    # Exercise BOTH regimes: a generous lim and the BINDING lim real
+    # callers use (lim = padded_extent - size, forcing edge snapping) —
+    # with only the generous one, the clamp logic was untested and the
+    # bound assertion near-vacuous (review r2, round 2).
+    for lim in (hi + size, max(0, hi - size + size // 2), max(0, hi - size)):
+        origins = window_origins(lo, hi, size, stride, lim)
+        covered = np.zeros(hi + 2 * size, bool)
+        for r in origins:
+            assert 0 <= r <= lim, (r, lim)
+        for r in origins:
+            covered[r : r + size] = True
+        assert covered[lo : min(hi, lim + size)].all(), (lim, origins)
+
+
+def test_window_origins_impossible_coverage_raises():
+    """lim too small to cover [lo, hi) must raise, not emit origins that
+    read past the padded array (review r2, round 2)."""
+    with pytest.raises(ValueError, match="cover"):
+        window_origins(0, 100, 10, 10, 50)
 
 
 def _tileset(rng, h=40, w=52, nc=3):
@@ -413,6 +425,12 @@ def test_tta_matches_host_composition(rng):
     ref = acc.argmax(-1)
     agree = (pred_tta == ref).mean()
     assert agree > 0.995, agree
+    # Pin the fused PROBABILITIES too: argmax agreement alone survived a
+    # dropped/double-counted transform (review r2, round 2).
+    _, prob_tta = inf.predict_tile(variables, 0, tta=True,
+                                   return_probs=True)
+    np.testing.assert_allclose(np.asarray(prob_tta), acc / 8.0,
+                               atol=1e-4, rtol=1e-3)
 
 
 def test_tta_through_validate_test(rng):
@@ -572,3 +590,18 @@ def test_dense_small_halo_warns_not_silent(rng):
     # halo > pad is now a ValueError, not a stripped assert
     with pytest.raises(ValueError, match="mirror pad"):
         inf.predict_tile_dense(variables, 0, block=16, halo=inf.pad + 1)
+
+
+def test_inferencer_does_not_pin_host_copies(rng):
+    """review r2 (round 2): the Inferencer kept the caller's TileSet, a
+    float32 padded image copy, AND a padded int32 mask copy alive for
+    its lifetime — tens of GB at production tile counts. Only the packed
+    storage array and small metadata may survive set_tiles."""
+    ts = _tileset(rng)
+    inf = Inferencer(cfg_for(scales=(16,)), ts)
+    assert not hasattr(inf, "padded"), "padded TileSet pinned again"
+    assert not hasattr(inf, "tiles"), "caller TileSet pinned again"
+    # metadata survives; masks were never padded (pad_masks=False)
+    assert inf.valid_hw.shape == (1, 2)
+    h, w = inf.padded_hw
+    assert h == ts.images.shape[1] + 2 * inf.pad

@@ -123,6 +123,19 @@ def test_http_endpoints(served, rng):
         assert r.headers["Content-Type"] == "image/png"
         rgb = np.asarray(Image.open(io.BytesIO(r.read())))
         assert rgb.shape == (20, 20, 3)
+        # The colors must BE _encode_png's mapping of the same
+        # request's labels — shape alone passed with any RGB image
+        # (review r2, round 2).
+        from dynseg.serve import _encode_png
+
+        r2 = post("/predict?mode=window&scales=9", pbuf.getvalue(),
+                  "image/png")
+        labels_w = np.load(io.BytesIO(r2.read()))
+        ref_rgb = np.asarray(Image.open(io.BytesIO(
+            _encode_png(labels_w, "synthetic"))))
+        np.testing.assert_array_equal(rgb, ref_rgb)
+        assert len(np.unique(rgb.reshape(-1, 3), axis=0)) == \
+            len(np.unique(labels_w))  # distinct classes keep distinct colors
 
         # malformed input -> 400 with an error message
         with pytest.raises(urllib.error.HTTPError) as ei:
@@ -247,8 +260,24 @@ def test_uint8_routing_and_labels_fast_path(served, rng):
     eng = ServingEngine(ExportedPredictor.load(out), window_batch=8)
     img8 = rng.integers(0, 256, size=(26, 22, 3), dtype=np.uint8)
 
+    # Spy on the artifact dispatch: equality of outputs alone is
+    # vacuous — a regression that casts u8 to f32 up front produces
+    # IDENTICAL outputs while killing the 4x-smaller-upload path
+    # (review r2, round 2). Record the dtype of every artifact call.
+    seen_dtypes = []
+    orig_probs_device = eng.p.probs_device
+
+    def spy(x):
+        seen_dtypes.append(np.asarray(x).dtype)
+        return orig_probs_device(x)
+
+    eng.p.probs_device = spy
     labels_f, probs_f = eng.predict(img8.astype(np.float32), mode="dense")
+    assert all(d == np.float32 for d in seen_dtypes), seen_dtypes
+    seen_dtypes.clear()
     labels_8, probs_8 = eng.predict(img8, mode="dense")
+    assert seen_dtypes and all(d == np.uint8 for d in seen_dtypes), \
+        seen_dtypes  # u8 raster MUST ride the u8 entry point
     np.testing.assert_allclose(probs_8, probs_f, atol=1e-6)
 
     # labels-only request on uint8 input: device argmax, no probs download
@@ -257,8 +286,12 @@ def test_uint8_routing_and_labels_fast_path(served, rng):
     assert probs_none is None
     np.testing.assert_array_equal(labels_fast, labels_8)
 
-    # window voting also accepts uint8 input
+    # window voting also accepts uint8 input (and keeps it u8 on the
+    # wire — same spy)
+    seen_dtypes.clear()
     _, probs_w8 = eng.predict(img8, mode="window", scales=[9])
+    assert seen_dtypes and all(d == np.uint8 for d in seen_dtypes), \
+        seen_dtypes
     _, probs_wf = eng.predict(img8.astype(np.float32), mode="window",
                               scales=[9])
     np.testing.assert_allclose(probs_w8, probs_wf, atol=1e-6)
@@ -280,10 +313,19 @@ def test_warmup_and_sigterm_shutdown(served):
     base = f"http://127.0.0.1:{srv.server_port}"
     assert json.loads(urllib.request.urlopen(f"{base}/healthz").read())[
         "status"] == "ok"
-    # same handler main() installs
-    threading.Thread(target=srv.shutdown).start()
-    th.join(timeout=10)
-    assert not th.is_alive()
+    # Exercise the REAL SIGTERM handler main() installs — calling
+    # srv.shutdown() directly never tested the signal wiring (review r2,
+    # round 2). Install the same handler main() does, then raise the
+    # signal in-process.
+    from dynseg.serve import _install_sigterm_handler
+
+    prev = _install_sigterm_handler(srv)
+    try:
+        signal.raise_signal(signal.SIGTERM)
+        th.join(timeout=10)
+        assert not th.is_alive()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
     srv.server_close()
 
 
@@ -447,6 +489,28 @@ def test_dos_guards(served, rng):
         resp = conn.getresponse()
         assert resp.status == 400
         conn.close()
+
+        # drain cap: the error-path body drain is bounded — a huge
+        # declared body must leave bytes UNREAD (the old unbounded drain
+        # sank the whole upload before the 413). Unit-level: the HTTP
+        # server speaks per-request-close HTTP/1.0, so the cap is not
+        # observable from a client socket.
+        from dynseg.serve import _drain_capped
+
+        class _CountingFile:
+            def __init__(self, n):
+                self.n, self.given = n, 0
+
+            def read(self, k):
+                k = min(k, self.n - self.given)
+                self.given += k
+                return b"\0" * k
+
+        f = _CountingFile(100 << 20)  # 100 MiB declared
+        left = _drain_capped(f, 100 << 20)
+        assert f.given == 8 << 20 and left == (100 << 20) - (8 << 20)
+        f = _CountingFile(2 << 20)  # small body: drained fully
+        assert _drain_capped(f, 2 << 20) == 0 and f.given == 2 << 20
 
         # engine-level defense in depth for embedders
         from dynseg.serve import MAX_WINDOW_SCALE, ServingEngine

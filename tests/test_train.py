@@ -51,8 +51,14 @@ def test_weight_decay_only_on_kernels(tiles):
     tx = make_optimizer(cfg)
     trainer = Trainer(cfg, tiles[0])
     state = trainer.init_state(jax.random.key(0))
-    zeros = jax.tree.map(jnp.zeros_like, state.params)
-    updates, _ = tx.update(zeros, tx.init(state.params), state.params)
+    # Randomize params first: biases/BN init to ZERO, so decay*0 == 0 and
+    # the negative assertion below was vacuous on fresh init (review r2,
+    # round 2 — a mask that wrongly decayed biases still passed).
+    keys = iter(jax.random.split(jax.random.key(7), 1000))
+    params = jax.tree.map(
+        lambda p: jax.random.normal(next(keys), p.shape, p.dtype), state.params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, tx.init(params), params)
     flat = jax.tree_util.tree_flatten_with_path(updates)[0]
     for path, u in flat:
         keys = [getattr(p, "key", "") for p in path]
