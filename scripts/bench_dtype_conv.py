@@ -77,19 +77,31 @@ def main():
     print(f"empty {R}-step scan: {base * 1e3:.1f} ms", flush=True)
 
     def timed(fn, x, w):
+        # Carry-dependence note: the obvious `x + acc * 0` trick is only
+        # safe for FLOAT dtypes (XLA must preserve NaN/Inf semantics so
+        # it cannot fold acc*0.0 -> 0). For INTEGER dtypes 0*acc == 0
+        # exactly, the add folds away, and the conv becomes
+        # loop-invariant -> hoisted out of the scan -> negative times.
+        # Instead carry an int32 scalar whose next value is derived from
+        # the conv OUTPUT through a float multiply (unfoldable), and add
+        # it to the input each step. acc stays numerically 0, but XLA
+        # cannot prove that, so the conv must re-execute every step.
+        # The reduction must cover the FULL output (y.sum(), not y[0]):
+        # slicing one element lets XLA's slice-into-conv rewrite shrink
+        # the conv to a single output window and DCE the rest.
         @jax.jit
         def loop(x, w):
             def body(acc, _):
-                # carry-dependence without dtype pollution: perturb the
-                # int path via the float accumulator cast to x.dtype
-                xx = x + acc.astype(x.dtype) * jnp.zeros((), x.dtype)
+                xx = x + acc.astype(x.dtype)
                 y = fn(xx, w)
-                return acc + y.astype(jnp.float32).sum() * 1e-9, None
-            return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                nxt = (y.astype(jnp.float32).sum()
+                       * jnp.float32(1e-30)).astype(jnp.int32)
+                return acc + nxt, None
+            return jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
                                 length=R)[0]
-        float(loop(x, w))
+        int(loop(x, w))
         t0 = time.perf_counter()
-        float(loop(x, w))
+        int(loop(x, w))
         return (time.perf_counter() - t0 - base) / R
 
     wanted = {s for s in args.shapes.split(",") if s}
