@@ -182,6 +182,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tta", action="store_true",
                    help="test-time dihedral augmentation: fuse softmax "
                         "maps over the 8 rotations/flips (8x compute)")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="post-training int8 serving path: quantize conv "
+                        "blocks with both channel dims >= --quant_min_ch "
+                        "(the measured v5e int8 win region) at "
+                        "validate_test/predict/serve")
+    p.add_argument("--quant_min_ch", type=int, default=128,
+                   help="minimum channel count (both operands) for a "
+                        "block to be quantized")
+    p.add_argument("--quant_calib_pct", type=float, default=99.9,
+                   help="activation-scale calibration percentile of "
+                        "|input| (100 = absmax)")
+    p.add_argument("--quant_calib_crops", type=int, default=8,
+                   help="number of 128px sample crops used to calibrate "
+                        "activation scales")
     p.add_argument("--export_platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for "
                         "--operation export (jax.export platforms)")
@@ -250,6 +264,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
             hbm_budget_gb=args.hbm_budget_gb,
             eroded_boundary_radius=args.eval_eroded_boundaries,
             tta=args.tta,
+            quant=args.quant,
+            quant_min_ch=args.quant_min_ch,
+            quant_calib_pct=args.quant_calib_pct,
+            quant_calib_crops=args.quant_calib_crops,
         ),
         data=DataConfig(
             dataset=args.dataset,
@@ -712,6 +730,12 @@ def run_predict(cfg: Config, predict_path: str, log=print,
         # while tile t+1 computes.
         if inf is None:
             inf = Inferencer(cfg, tiles)
+            if cfg.infer.quant != "none":
+                # Calibrated once, on the first chunk's imagery; later
+                # chunks reuse the quantized tree + compiled programs.
+                variables = inf.enable_quant(variables)
+                log(f"int8 serving path: quantized blocks "
+                    f"{sorted(variables['quant'])}")
         else:
             inf.set_tiles(tiles)
         pending = inf.predict_tile_device(variables, 0, scales)

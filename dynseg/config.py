@@ -164,6 +164,16 @@ class InferConfig:
     # Test-time dihedral augmentation: average softmax maps over the 8
     # rotations/flips (beyond reference; 8x inference compute, on device).
     tta: bool = False
+    # Post-training int8 serving path (beyond reference; ops/quant.py):
+    # "int8" quantizes conv blocks whose channel dims are both >=
+    # quant_min_ch — the measured v5e win region (docs/DESIGN.md int8
+    # probe) — with per-channel weight scales and per-tensor activation
+    # scales calibrated at the quant_calib_pct percentile of |input|
+    # over quant_calib_crops sample crops of the bound tiles.
+    quant: str = "none"
+    quant_min_ch: int = 128
+    quant_calib_pct: float = 99.9
+    quant_calib_crops: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -260,6 +270,16 @@ class Config:
               f"(1.0 would freeze scores; >1 diverges)")
         check(self.sched.temperature > 0.0,
               f"sched_temperature must be > 0, got {self.sched.temperature}")
+        check(self.infer.quant in ("none", "int8"),
+              f"quant {self.infer.quant!r} not in ('none', 'int8')")
+        check(self.infer.quant_min_ch >= 1,
+              f"quant_min_ch must be >=1, got {self.infer.quant_min_ch}")
+        check(0.0 < self.infer.quant_calib_pct <= 100.0,
+              f"quant_calib_pct must be in (0, 100], got "
+              f"{self.infer.quant_calib_pct}")
+        check(self.infer.quant_calib_crops >= 1,
+              f"quant_calib_crops must be >=1, got "
+              f"{self.infer.quant_calib_crops}")
         check(self.model.pool_backward in ("xla", "pallas"),
               f"pool_backward {self.model.pool_backward!r} not in "
               f"('xla', 'pallas')")

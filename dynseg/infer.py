@@ -86,6 +86,11 @@ class Inferencer:
         so every chip holds the full prediction at the end."""
         self.cfg = cfg
         self.model = build_model(cfg.model)
+        # Forward used by all predict paths (window/dense/TTA). Swapped to
+        # the mixed-int8 functional forward by enable_quant(); jit caches
+        # key on the variables tree structure, so float and quantized
+        # trees each get their own correctly-bound executable.
+        self._apply = self.model.apply
         self.scales = [int(s) for s in cfg.infer.scales]
         # Pad covers both window context and the dense-mode halo.
         self.pad = max(max(self.scales), cfg.infer.dense_halo)
@@ -164,6 +169,42 @@ class Inferencer:
         self.mean = jax.device_put(tiles.mean, self._repl)
         self.std = jax.device_put(tiles.std, self._repl)
 
+    def enable_quant(self, variables):
+        """Post-training int8: when cfg.infer.quant == "int8", calibrate
+        activation scales on sample crops of the bound tiles, transform
+        the float checkpoint tree into the mixed-precision serving tree
+        (dynseg/ops/quant.py — deep blocks int8, shallow stem + head
+        float, per the v5e measurements in docs/DESIGN.md), switch this
+        Inferencer's forward to the quantized apply, and return the
+        transformed tree. With quant == "none", returns `variables`
+        unchanged. Call BEFORE the first predict; pass the returned tree
+        to every subsequent predict call."""
+        icfg = self.cfg.infer
+        if icfg.quant == "none":
+            return variables
+        from dynseg.ops import quant as quant_ops
+
+        rng = np.random.default_rng(0)
+        num_tiles = int(self.valid_hw.shape[0])
+        crops = []
+        for i in range(int(icfg.quant_calib_crops)):
+            t = i % num_tiles
+            h, w = (int(v) for v in self.valid_hw[t])
+            s = min(128, h, w)
+            y0 = self.pad + int(rng.integers(0, max(1, h - s + 1)))
+            x0 = self.pad + int(rng.integers(0, max(1, w - s + 1)))
+            crop = jnp.asarray(
+                self.images[t, y0:y0 + s, x0:x0 + s]).astype(jnp.float32)
+            crops.append((crop - self.mean) / self.std)
+        ranges = quant_ops.calibrate(
+            self.cfg.model, variables, crops, icfg.quant_calib_pct)
+        qvars = quant_ops.quantize_variables(
+            self.cfg.model, variables, ranges,
+            num_input_bands=int(self.images.shape[-1]),
+            min_ch=icfg.quant_min_ch)
+        self._apply = quant_ops.make_apply(self.cfg.model)
+        return qvars
+
     def _tile(self, tile_idx: int) -> jnp.ndarray:
         """Device array of one padded tile (upload on demand in streaming
         mode; a slice of the resident set otherwise — same programs)."""
@@ -202,7 +243,7 @@ class Inferencer:
             prob, cnt = carry
             origins_b, weights_b = xs  # (B,2), (B,)
             windows = jax.vmap(gather)(origins_b)  # (B, s, s, C)
-            logits = self.model.apply(variables, windows, train=False)
+            logits = self._apply(variables, windows, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             probs = probs * weights_b[:, None, None, None]
 
@@ -265,7 +306,7 @@ class Inferencer:
                 return (patch - self.mean) / self.std
 
             patches = jax.vmap(cut)(st)  # (D, ext, ext, C)
-            logits = self.model.apply(variables, patches, train=False)
+            logits = self._apply(variables, patches, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             centers = probs[:, halo : halo + block, halo : halo + block]
 
@@ -583,6 +624,13 @@ def validate_test(
     ([R] dynamic.py:≈validate_test; SURVEY.md §3.2). Returns metrics plus
     per-tile prediction maps for export (C18)."""
     inf = Inferencer(cfg, test_tiles, mesh=mesh)
+    if cfg.infer.quant != "none":
+        variables = inf.enable_quant(variables)
+        log(f"int8 serving path: quantized blocks "
+            f"{sorted(variables['quant'])} (min_ch="
+            f"{cfg.infer.quant_min_ch}, calib pct="
+            f"{cfg.infer.quant_calib_pct} over "
+            f"{cfg.infer.quant_calib_crops} crops)")
     if cfg.infer.mode == "dense":
         log(
             "NOTE: dense mode is a whole-tile estimator; patch-trained "
