@@ -788,6 +788,29 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
         cfg, sched=dataclasses.replace(
             cfg.sched, values=tuple(int(v) for v in scheduler.values)))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    quant_variables = None
+    if cfg.infer.quant != "none":
+        # Quantization needs calibration imagery: reuse the exact
+        # validate_test calibration path (Inferencer.enable_quant over
+        # the dataset's test tiles) so the exported artifact's scales
+        # match what --quant evaluation measured.
+        from dynseg.infer import Inferencer
+
+        _, calib_tiles = load_dataset(
+            cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
+            test_only=True, **_loader_kwargs(cfg))
+        if calib_tiles.num_bands != cfg.model.num_input_bands:
+            raise ValueError(
+                f"calibration tiles have {calib_tiles.num_bands} bands "
+                f"but the checkpoint was trained on "
+                f"{cfg.model.num_input_bands} (match --bands/"
+                f"--extra_bands, or export without --quant)")
+        calib_tiles.mean = np.asarray(stats["mean"], np.float32)
+        calib_tiles.std = np.asarray(stats["std"], np.float32)
+        quant_variables = Inferencer(cfg, calib_tiles).enable_quant(
+            variables)
+        log(f"int8 export: quantized blocks "
+            f"{sorted(quant_variables['quant'])}")
     out_dir = export_predictor(
         cfg, variables, stats["mean"], stats["std"],
         os.path.join(cfg.train.output_path, "export"),
@@ -804,6 +827,7 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
             "checkpoint_step": int(step),
             "dataset": stats.get("dataset"),
         },
+        quant_variables=quant_variables,
     )
     log(f"exported serving artifact -> {out_dir} "
         f"(platforms: {', '.join(platforms)})")

@@ -52,6 +52,7 @@ def export_predictor(
     out_dir: str,
     platforms: Sequence[str] = ("tpu", "cpu"),
     extra_meta: Optional[dict] = None,
+    quant_variables=None,
 ) -> str:
     """Serialize the predictor with everything baked in. THREE entry
     points are exported (all b/h/w-symbolic), because on a remote/tunneled
@@ -71,13 +72,22 @@ def export_predictor(
     from jax import export as jexport
 
     model = build_model(cfg.model)
+    if quant_variables is not None:
+        # Mixed-precision int8 serving artifact (ops/quant.py): int8
+        # weights + scales are baked in exactly like the float params —
+        # the artifact stays self-contained and serve.py is unchanged.
+        from dynseg.ops.quant import make_apply
+
+        apply_fn, bound_vars = make_apply(cfg.model), quant_variables
+    else:
+        apply_fn, bound_vars = model.apply, variables
     mean_c = jnp.asarray(np.asarray(mean, np.float32))
     std_c = jnp.asarray(np.asarray(std, np.float32))
     halo = int(cfg.infer.dense_halo)
 
     def probs(x):
         x = x.astype(jnp.float32)
-        logits = model.apply(variables, (x - mean_c) / std_c, train=False)
+        logits = apply_fn(bound_vars, (x - mean_c) / std_c, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     def dense_labels(x):
@@ -124,6 +134,10 @@ def export_predictor(
         "num_classes": cfg.model.num_classes,
         "num_input_bands": cfg.model.num_input_bands,
         "compute_dtype": cfg.model.compute_dtype,
+        "quant": (cfg.infer.quant if quant_variables is not None
+                  else "none"),
+        "quant_blocks": (sorted(quant_variables["quant"])
+                         if quant_variables is not None else []),
         # Baked into the graph; recorded for audit only.
         "normalization": {
             "mean": np.asarray(mean).tolist(),

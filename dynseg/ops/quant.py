@@ -100,12 +100,30 @@ def _conv(x, w, dilation, acc_dtype):
     )
 
 
+def _quantize_act(x, sx):
+    return jnp.round(
+        jnp.clip(x.astype(jnp.float32) / sx, -127.0, 127.0)
+    ).astype(jnp.int8)
+
+
 def _block_forward(mcfg: ModelConfig, spec: dict, params, stats, quant,
-                   x, record: Optional[dict], calib_pct: float):
+                   x, record: Optional[dict], calib_pct: float,
+                   in_scale=None, out_scale=None):
     """One conv block. `quant` is the block's quant-collection entry (int8
-    path) or None (float path, parity with DilatedConvBlock)."""
+    path) or None (float path, parity with DilatedConvBlock).
+
+    int8 streaming (the measured composition win — docs/DESIGN.md int8
+    probe, "fused" chain 1.64x vs 0.91x naive): when `in_scale` is set,
+    `x` is ALREADY int8 at that scale (the previous block requantized in
+    its epilogue), so the standalone quantize pass disappears; when
+    `out_scale` is set (the next block is quantized), this block's
+    epilogue requantizes BEFORE the pool and the stride-1 max-pool runs
+    on int8 — bit-identical results (max commutes with the monotonic
+    quantize) at 1/4 the pool HBM traffic. Returns (y, carried_scale)
+    where carried_scale is out_scale iff y is int8."""
     dtype = jnp.dtype(mcfg.compute_dtype)
-    x = x.astype(dtype)
+    if in_scale is None:
+        x = x.astype(dtype)
     if record is not None:
         # Calibration probe: the candidate activation scale for THIS
         # block's input, as a high percentile of |x| (float path only).
@@ -113,13 +131,13 @@ def _block_forward(mcfg: ModelConfig, spec: dict, params, stats, quant,
             jnp.abs(x.astype(jnp.float32)), calib_pct)
     conv_p = params["Conv_0"]
     if quant is None:
+        if in_scale is not None:
+            x = (x.astype(jnp.float32) * in_scale).astype(dtype)
         y = _conv(x, conv_p["kernel"].astype(dtype), spec["dilation"], dtype)
     else:
-        sx = quant["act_scale"]  # f32 scalar
+        sx = in_scale if in_scale is not None else quant["act_scale"]
         sw = quant["w_scale"]  # f32 (cout,)
-        xq = jnp.round(
-            jnp.clip(x.astype(jnp.float32) / sx, -127.0, 127.0)
-        ).astype(jnp.int8)
+        xq = x if in_scale is not None else _quantize_act(x, sx)
         acc = _conv(xq, conv_p["kernel"], spec["dilation"], jnp.int32)
         y = (acc.astype(jnp.float32) * (sx * sw)).astype(dtype)
     if mcfg.use_batch_norm:
@@ -130,10 +148,20 @@ def _block_forward(mcfg: ModelConfig, spec: dict, params, stats, quant,
     else:
         y = y + conv_p["bias"].astype(dtype)
     y = nn.leaky_relu(y, negative_slope=mcfg.leaky_slope)
+    if out_scale is not None:
+        # Requantize in the epilogue (fuses with the dequant/BN/leaky
+        # chain above into the conv's output fusion) and pool on int8.
+        y = _quantize_act(y, out_scale)
+        if spec["pool"]:
+            y = jax.lax.reduce_window(
+                y, jnp.int8(-128), jax.lax.max,
+                (1, mcfg.pool_window, mcfg.pool_window, 1),
+                (1, 1, 1, 1), "SAME")
+        return y, out_scale
     if spec["pool"]:
         y = nn.max_pool(y, window_shape=(mcfg.pool_window, mcfg.pool_window),
                         strides=(1, 1), padding="SAME")
-    return y
+    return y, None
 
 
 def _forward(mcfg: ModelConfig, variables, x, record: Optional[dict] = None,
@@ -144,20 +172,31 @@ def _forward(mcfg: ModelConfig, variables, x, record: Optional[dict] = None,
     dtype = jnp.dtype(mcfg.compute_dtype)
     specs = block_specs(mcfg, x.shape[-1])
     if _dense_wired(mcfg):
+        # Dense (concat) wiring mixes every earlier feature map into each
+        # input, so there is no single-stream int8 carry; each quantized
+        # block quantizes its own concat input (the unfused scheme).
         feats = [x.astype(dtype)]
         for spec in specs:
             inp = jnp.concatenate(feats, axis=-1)
-            out = _block_forward(
+            out, _ = _block_forward(
                 mcfg, spec, params[spec["name"]], stats.get(spec["name"]),
                 quant.get(spec["name"]), inp, record, calib_pct)
             feats.append(out)
         h = jnp.concatenate(feats[1:], axis=-1)
     else:
         h = x
-        for spec in specs:
-            h = _block_forward(
+        carried = None  # h is int8 at this scale when set
+        for i, spec in enumerate(specs):
+            nxt = (quant.get(specs[i + 1]["name"])
+                   if i + 1 < len(specs) else None)
+            # Stream int8 into the next block only outside calibration
+            # (the probe must see every block's float input).
+            out_scale = (nxt["act_scale"]
+                         if nxt is not None and record is None else None)
+            h, carried = _block_forward(
                 mcfg, spec, params[spec["name"]], stats.get(spec["name"]),
-                quant.get(spec["name"]), h, record, calib_pct)
+                quant.get(spec["name"]), h, record, calib_pct,
+                in_scale=carried, out_scale=out_scale)
     # Dropout (if configured) is deterministic-identity at inference.
     head = params["ScoreHead_0"]["Conv_0"]
     h = _conv(h.astype(dtype), head["kernel"].astype(dtype), 1, dtype)

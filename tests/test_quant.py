@@ -95,6 +95,33 @@ def test_int8_forward_close_to_float(net):
     assert float((ref.argmax(-1) == out.argmax(-1)).mean()) > 0.97
 
 
+def test_int8_streaming_matches_unfused_exactly():
+    """The fused int8 carry (requant in the epilogue + int8 max-pool)
+    must be BIT-IDENTICAL to the naive per-block quantize scheme: max
+    commutes with the monotonic quantize. Run the naive scheme by
+    driving _block_forward directly with no streaming."""
+    mcfg = ModelConfig(net_type="dilated_icpr_rate6", num_classes=4,
+                       num_input_bands=3, width_multiplier=0.25)
+    model, variables, x = _init(mcfg)
+    ranges = Q.calibrate(mcfg, variables, [x], 100.0)
+    qv = Q.quantize_variables(mcfg, variables, ranges, num_input_bands=3,
+                              min_ch=1)
+    fused = Q.make_apply(mcfg)(qv, x, train=False)
+
+    # naive: every block standalone-quantizes its own float input
+    params, stats, quant = qv["params"], qv["batch_stats"], qv["quant"]
+    h = x
+    for spec in Q.block_specs(mcfg, 3):
+        h, _ = Q._block_forward(mcfg, spec, params[spec["name"]],
+                                stats[spec["name"]], quant[spec["name"]],
+                                h, None, 100.0)
+    head = params["ScoreHead_0"]["Conv_0"]
+    dt = jnp.dtype(mcfg.compute_dtype)
+    naive = (Q._conv(h.astype(dt), head["kernel"].astype(dt), 1, dt)
+             + head["bias"].astype(dt)).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(naive))
+
+
 def test_quantize_variables_tree_properties():
     mcfg = ModelConfig(net_type="dilated_icpr_rate6", num_classes=4,
                        num_input_bands=3, width_multiplier=0.25)
@@ -186,6 +213,45 @@ def test_inferencer_quant_end_to_end():
     pred_wf, _ = inf_f.predict_tile(variables, 0)
     pred_wq, _ = inf_q.predict_tile(qvars, 0)
     assert (pred_wf == pred_wq).mean() > 0.95
+
+
+def test_quantized_export_roundtrip(tmp_path):
+    """A --quant export bakes the int8 forward into the StableHLO
+    artifact; the loaded artifact must match the live quantized apply."""
+    import dataclasses
+
+    from dynseg.config import Config, DataConfig, InferConfig, \
+        SchedulerConfig, TrainConfig
+    from dynseg.export import ExportedPredictor, export_predictor
+
+    mcfg = ModelConfig(net_type="dilated_grsl", num_classes=3,
+                       num_input_bands=3, width_multiplier=0.125)
+    cfg = Config(
+        model=mcfg,
+        sched=SchedulerConfig(distribution_type="multi_fixed",
+                              values=(9, 13)),
+        train=TrainConfig(batch_size=4, seed=0),
+        infer=InferConfig(quant="int8", quant_min_ch=1),
+        data=DataConfig(dataset="synthetic"),
+    )
+    model, variables, x = _init(mcfg)
+    ranges = Q.calibrate(mcfg, variables, [x], 100.0)
+    qv = Q.quantize_variables(mcfg, variables, ranges, num_input_bands=3,
+                              min_ch=1)
+    mean = np.zeros(3, np.float32)
+    std = np.ones(3, np.float32)
+    out = str(tmp_path / "export")
+    export_predictor(cfg, variables, mean, std, out, platforms=("cpu",),
+                     quant_variables=qv)
+    pred = ExportedPredictor.load(out)
+    assert pred.manifest["quant"] == "int8"
+    assert pred.manifest["quant_blocks"] == sorted(qv["quant"])
+    rng = np.random.default_rng(1)
+    raw = rng.normal(size=(1, 21, 21, 3)).astype(np.float32)
+    got = pred.probs(raw)
+    want = jax.nn.softmax(
+        Q.make_apply(mcfg)(qv, jnp.asarray(raw), train=False), -1)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
 
 
 def test_cli_quant_flag_roundtrip():
