@@ -24,6 +24,9 @@ def main() -> int:
                     help="also time reference-parity window voting "
                          "(25..65 px scales; ~20x the dense compute)")
     ap.add_argument("--platform", default="")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="bench the mixed-int8 serving artifact "
+                         "(ops/quant.py; calibrated on random crops)")
     args = ap.parse_args()
 
     import jax
@@ -58,9 +61,21 @@ def main() -> int:
     img = (np.random.default_rng(0).uniform(0, 255,
            (args.size, args.size, 3)).astype(np.float32))
 
+    quant_variables = None
+    if args.quant == "int8":
+        from dynseg.ops import quant as quant_ops
+
+        crops = [jnp.asarray(img[:128, :128])]
+        ranges = quant_ops.calibrate(cfg.model, variables, crops, 99.9)
+        quant_variables = quant_ops.quantize_variables(
+            cfg.model, variables, ranges, num_input_bands=3)
+        print(f"int8 artifact: quantized "
+              f"{sorted(quant_variables['quant'])}")
+
     with tempfile.TemporaryDirectory() as tmp:
         export_predictor(cfg, variables, np.zeros(3, np.float32),
-                         np.ones(3, np.float32), tmp)
+                         np.ones(3, np.float32), tmp,
+                         quant_variables=quant_variables)
         eng = ServingEngine(ExportedPredictor.load(tmp), window_batch=128)
         mpx = args.size * args.size / 1e6
 

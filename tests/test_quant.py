@@ -215,6 +215,47 @@ def test_inferencer_quant_end_to_end():
     assert (pred_wf == pred_wq).mean() > 0.95
 
 
+def test_quant_multi_device_matches_single():
+    """The quantized forward under the 8-device data-parallel mesh must
+    reproduce the single-device quantized predictions exactly (blocks
+    shard across chips; int8 params replicate)."""
+    import dataclasses
+
+    from dynseg.cli import build_argparser, config_from_args
+    from dynseg.data.datasets import load_dataset
+    from dynseg.infer import Inferencer
+
+    args = build_argparser().parse_args([
+        "--operation", "validate_test", "--dataset", "synthetic",
+        "--values", "15", "--window_batch", "16", "--dense_halo", "8",
+        "--quant", "int8", "--quant_min_ch", "1", "--quant_calib_crops", "2",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, width_multiplier=0.125, num_input_bands=3))
+    _, tiles = load_dataset("synthetic", size=48, num_tiles=1, seed=0)
+    model = build_model(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 15, 15, 3)), train=False)
+
+    single = Inferencer(cfg, tiles)
+    qv = single.enable_quant(variables)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    multi = Inferencer(cfg, tiles, mesh=mesh)
+    qv8 = multi.enable_quant(variables)
+    # same calibration data -> identical quantized tree
+    chex_like = jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), qv, qv8)
+    del chex_like
+
+    p1, pr1 = single.predict_tile_dense(qv, 0, block=16, halo=8)
+    p8, pr8 = multi.predict_tile_dense(qv8, 0, block=16, halo=8)
+    np.testing.assert_array_equal(p1, p8)
+    np.testing.assert_allclose(pr1, pr8, atol=1e-5)
+
+
 def test_quantized_export_roundtrip(tmp_path):
     """A --quant export bakes the int8 forward into the StableHLO
     artifact; the loaded artifact must match the live quantized apply."""
