@@ -123,11 +123,30 @@ inf = Inferencer(cfg, tiles)
 mpx = size * size / 1e6
 out = {{}}
 for mode, fn in [("window", lambda: inf.predict_tile(variables, 0, return_probs=False)),
-                 ("dense", lambda: inf.predict_tile_dense(variables, 0, return_probs=False))]:
+                 ("dense", lambda: inf.predict_tile_dense(variables, 0, return_probs=False)),
+                 ("dense512", lambda: inf.predict_tile_dense(variables, 0, block=512, return_probs=False))]:
     fn()  # warm/compile
     t0 = time.perf_counter()
     pred, _ = fn()
     out[mode] = round(mpx / (time.perf_counter() - t0), 3)
+# int8 serving-path legs (best-effort: full-width models only — the
+# narrow CPU model has no >=128-channel blocks to quantize)
+if wm >= 1.0:
+    try:
+        import dataclasses
+        qcfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(cfg.infer, quant="int8",
+                                           quant_calib_crops=2))
+        qinf = Inferencer(qcfg, tiles)
+        qv = qinf.enable_quant(variables)
+        for mode, fn in [("window_int8", lambda: qinf.predict_tile(qv, 0, return_probs=False)),
+                         ("dense512_int8", lambda: qinf.predict_tile_dense(qv, 0, block=512, return_probs=False))]:
+            fn()
+            t0 = time.perf_counter()
+            fn()
+            out[mode] = round(mpx / (time.perf_counter() - t0), 3)
+    except Exception as e:
+        out["int8_error"] = str(e)[:120]
 print("RESULT", json.dumps(out))
 """
 
