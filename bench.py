@@ -136,6 +136,7 @@ if wm >= 1.0:
         import dataclasses
         qcfg = dataclasses.replace(
             cfg, infer=dataclasses.replace(cfg.infer, quant="int8",
+                                           quant_exit=True,
                                            quant_calib_crops=2))
         qinf = Inferencer(qcfg, tiles)
         qv = qinf.enable_quant(variables)

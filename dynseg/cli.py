@@ -196,6 +196,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--quant_calib_crops", type=int, default=8,
                    help="number of 128px sample crops used to calibrate "
                         "activation scales")
+    p.add_argument("--quant_exit", action="store_true",
+                   help="with --quant int8: also run the final block's "
+                        "pool + head input in int8 (approximate, ~+3% "
+                        "dense; interior-only quantization is exact)")
     p.add_argument("--export_platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for "
                         "--operation export (jax.export platforms)")
@@ -268,6 +272,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             quant_min_ch=args.quant_min_ch,
             quant_calib_pct=args.quant_calib_pct,
             quant_calib_crops=args.quant_calib_crops,
+            quant_exit=args.quant_exit,
         ),
         data=DataConfig(
             dataset=args.dataset,

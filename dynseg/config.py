@@ -174,6 +174,10 @@ class InferConfig:
     quant_min_ch: int = 128
     quant_calib_pct: float = 99.9
     quant_calib_crops: int = 8
+    # Also run the FINAL block's pool + head input in int8 (approximate
+    # — the head input is quantized; measured ~+3% dense on top of the
+    # interior streaming). Off by default: the interior path is exact.
+    quant_exit: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -201,7 +201,7 @@ class Inferencer:
         qvars = quant_ops.quantize_variables(
             self.cfg.model, variables, ranges,
             num_input_bands=int(self.images.shape[-1]),
-            min_ch=icfg.quant_min_ch)
+            min_ch=icfg.quant_min_ch, exit_int8=icfg.quant_exit)
         self._apply = quant_ops.make_apply(self.cfg.model)
         return qvars
 

@@ -183,12 +183,15 @@ def _forward(mcfg: ModelConfig, variables, x, record: Optional[dict] = None,
                 quant.get(spec["name"]), inp, record, calib_pct)
             feats.append(out)
         h = jnp.concatenate(feats[1:], axis=-1)
+        carried = None
     else:
         h = x
         carried = None  # h is int8 at this scale when set
+        exit_q = quant.get("__exit__")
         for i, spec in enumerate(specs):
-            nxt = (quant.get(specs[i + 1]["name"])
-                   if i + 1 < len(specs) else None)
+            last = i + 1 == len(specs)
+            nxt = (exit_q if last
+                   else quant.get(specs[i + 1]["name"]))
             # Stream int8 into the next block only outside calibration
             # (the probe must see every block's float input).
             out_scale = (nxt["act_scale"]
@@ -197,6 +200,16 @@ def _forward(mcfg: ModelConfig, variables, x, record: Optional[dict] = None,
                 mcfg, spec, params[spec["name"]], stats.get(spec["name"]),
                 quant.get(spec["name"]), h, record, calib_pct,
                 in_scale=carried, out_scale=out_scale)
+    if record is not None:
+        # Head-input range: only consumed by the optional int8 exit.
+        record["__head__"] = jnp.percentile(
+            jnp.abs(h.astype(jnp.float32)), calib_pct)
+    if carried is not None:
+        # int8 exit: the final block emitted int8 (its pool ran at 1/4
+        # traffic); dequantize for the float 1x1 head. Unlike the
+        # interior streaming this is an APPROXIMATION (the head input
+        # is quantized), so it lives behind --quant_exit.
+        h = (h.astype(jnp.float32) * carried).astype(dtype)
     # Dropout (if configured) is deterministic-identity at inference.
     head = params["ScoreHead_0"]["Conv_0"]
     h = _conv(h.astype(dtype), head["kernel"].astype(dtype), 1, dtype)
@@ -247,7 +260,7 @@ def calibrate(mcfg: ModelConfig, variables, crops: Sequence[jnp.ndarray],
 def quantize_variables(mcfg: ModelConfig, variables,
                        act_ranges: Dict[str, float],
                        num_input_bands: Optional[int] = None,
-                       min_ch: int = 128):
+                       min_ch: int = 128, exit_int8: bool = False):
     """Transform a float checkpoint tree into the mixed-precision serving
     tree: selected blocks' kernels become int8 with a 'quant' collection
     carrying {act_scale, w_scale}; everything else passes through
@@ -287,6 +300,18 @@ def quantize_variables(mcfg: ModelConfig, variables,
             f"net={mcfg.net_type}, width={mcfg.width_multiplier}): every "
             f"layer is below the measured win threshold — run without "
             f"--quant or lower --quant_min_ch")
+    if exit_int8:
+        if _dense_wired(mcfg):
+            raise ValueError(
+                "exit_int8 requires sequential wiring (the dense-concat "
+                "variant has no single exit stream)")
+        rng = act_ranges.get("__head__", 0.0)
+        if rng <= 0.0:
+            raise ValueError(
+                "no '__head__' calibration range for exit_int8; run "
+                "calibrate() (it records the head input range)")
+        quant["__exit__"] = {
+            "act_scale": jnp.asarray(rng / 127.0, jnp.float32)}
     out = dict(variables)
     out["params"] = params
     out["quant"] = quant

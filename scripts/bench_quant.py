@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--modes", default="dense,window")
     ap.add_argument("--dense_block", type=int, default=None)
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--quant_exit", action="store_true")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (cpu for logic smoke)")
     args = ap.parse_args()
@@ -55,7 +56,8 @@ def main():
         "--window_batch", str(args.window_batch),
         "--compute_dtype", args.compute_dtype,
     ] + (["--dense_block", str(args.dense_block)]
-         if args.dense_block else []))
+         if args.dense_block else [])
+      + (["--quant_exit"] if args.quant_exit else []))
     cfg = config_from_args(cli_args)
     ckpt = CheckpointManager(cfg.train.output_path)
     stats = ckpt.load_stats()

@@ -85,7 +85,8 @@ def test_int8_forward_close_to_float(net):
                        width_multiplier=0.25)
     model, variables, x = _init(mcfg)
     ranges = Q.calibrate(mcfg, variables, [x], 100.0)
-    assert set(ranges) == {f"DilatedConvBlock_{i}" for i in range(6)}
+    assert set(ranges) == (
+        {f"DilatedConvBlock_{i}" for i in range(6)} | {"__head__"})
     assert all(v > 0 for v in ranges.values())
     qv = Q.quantize_variables(mcfg, variables, ranges, num_input_bands=3,
                               min_ch=1)
@@ -120,6 +121,31 @@ def test_int8_streaming_matches_unfused_exactly():
     naive = (Q._conv(h.astype(dt), head["kernel"].astype(dt), 1, dt)
              + head["bias"].astype(dt)).astype(jnp.float32)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(naive))
+
+
+def test_int8_exit_close_and_flagged():
+    """--quant_exit quantizes the head input (approximate): output must
+    stay close to float, and the tree must carry the __exit__ scale."""
+    mcfg = ModelConfig(net_type="dilated_icpr_rate6", num_classes=4,
+                       num_input_bands=3, width_multiplier=0.25)
+    model, variables, x = _init(mcfg)
+    ranges = Q.calibrate(mcfg, variables, [x], 100.0)
+    assert "__head__" in ranges and ranges["__head__"] > 0
+    qv = Q.quantize_variables(mcfg, variables, ranges, num_input_bands=3,
+                              min_ch=1, exit_int8=True)
+    assert "__exit__" in qv["quant"]
+    ref = jax.nn.softmax(model.apply(variables, x, train=False), -1)
+    out = jax.nn.softmax(Q.make_apply(mcfg)(qv, x, train=False), -1)
+    assert float(jnp.abs(ref - out).max()) < 0.06
+    assert float((ref.argmax(-1) == out.argmax(-1)).mean()) > 0.97
+    # dense-concat wiring has no exit stream -> actionable error
+    dcfg = ModelConfig(net_type="dilated_icpr_rate6_densely", num_classes=4,
+                       num_input_bands=3, width_multiplier=0.25)
+    _, dvars, dx = _init(dcfg)
+    dranges = Q.calibrate(dcfg, dvars, [dx], 100.0)
+    with pytest.raises(ValueError, match="sequential"):
+        Q.quantize_variables(dcfg, dvars, dranges, num_input_bands=3,
+                             min_ch=1, exit_int8=True)
 
 
 def test_quantize_variables_tree_properties():
