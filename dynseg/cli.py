@@ -919,6 +919,9 @@ def _write_scores(cfg: Config, scores: dict, scales=None) -> None:
             "scales": ([] if cfg.infer.mode == "dense"
                        else [int(s) for s in (scales or cfg.infer.scales)]),
             "tta": cfg.infer.tta,
+            "quant": cfg.infer.quant,
+            "quant_exit": (cfg.infer.quant_exit
+                           if cfg.infer.quant != "none" else False),
             # predict+score wall time only (setup/restore excluded) —
             # the number mode-choice comparisons should use
             "wall_s": scores.get("infer_wall_s"),

@@ -746,4 +746,5 @@ def test_scales_from_scheduler_topk_fusion(tmp_path):
     inference = dict(rec["inference"])
     assert inference.pop("wall_s") > 0  # library inference-only timer
     assert inference == {"mode": "window", "scales": picked,
-                         "tta": False}, rec["inference"]
+                         "tta": False, "quant": "none",
+                         "quant_exit": False}, rec["inference"]
