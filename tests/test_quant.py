@@ -321,6 +321,73 @@ def test_quantized_export_roundtrip(tmp_path):
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
 
 
+def test_quantized_artifact_serves(tmp_path):
+    """ServingEngine request plumbing over a quantized artifact: dense
+    predictions must match the live quantized apply through the full
+    numpy/mirror-pad/block pipeline."""
+    from dynseg.config import Config, DataConfig, InferConfig, \
+        SchedulerConfig, TrainConfig
+    from dynseg.export import ExportedPredictor, export_predictor
+    from dynseg.serve import ServingEngine
+
+    mcfg = ModelConfig(net_type="dilated_grsl", num_classes=3,
+                       num_input_bands=3, width_multiplier=0.125)
+    cfg = Config(
+        model=mcfg,
+        sched=SchedulerConfig(distribution_type="multi_fixed",
+                              values=(9, 13)),
+        train=TrainConfig(batch_size=4, seed=0),
+        infer=InferConfig(scales=(9, 13), window_batch=16, dense_halo=20,
+                          quant="int8", quant_min_ch=1),
+        data=DataConfig(dataset="synthetic"),
+    )
+    model, variables, x = _init(mcfg)
+    ranges = Q.calibrate(mcfg, variables, [x], 100.0)
+    qv = Q.quantize_variables(mcfg, variables, ranges, num_input_bands=3,
+                              min_ch=1)
+    out = str(tmp_path / "export")
+    export_predictor(cfg, variables, np.zeros(3, np.float32),
+                     np.ones(3, np.float32), out, platforms=("cpu",),
+                     quant_variables=qv)
+    eng = ServingEngine(ExportedPredictor.load(out), window_batch=16)
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(30, 26, 3)).astype(np.float32)
+    labels, probs = eng.predict(img, mode="dense")
+    assert labels.shape == (30, 26) and probs.shape == (30, 26, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_enable_quant_streaming_tiles():
+    """enable_quant calibrates from HOST-resident tiles too (streaming
+    mode: hbm budget below the packed set size)."""
+    import dataclasses
+
+    from dynseg.cli import build_argparser, config_from_args
+    from dynseg.data.datasets import load_dataset
+    from dynseg.infer import Inferencer
+
+    args = build_argparser().parse_args([
+        "--operation", "validate_test", "--dataset", "synthetic",
+        "--values", "15", "--window_batch", "16", "--dense_halo", "8",
+        "--quant", "int8", "--quant_min_ch", "1", "--quant_calib_crops", "3",
+        "--hbm_budget_gb", "0.000001",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, width_multiplier=0.125, num_input_bands=3))
+    _, tiles = load_dataset("synthetic", size=48, num_tiles=1, seed=0)
+    model = build_model(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 15, 15, 3)), train=False)
+    inf = Inferencer(cfg, tiles)
+    assert inf._stream  # the budget forces host streaming
+    qv = inf.enable_quant(variables)
+    assert "quant" in qv
+    pred, prob = inf.predict_tile_dense(qv, 0, block=16, halo=8)
+    np.testing.assert_allclose(np.asarray(prob).sum(-1), 1.0, atol=1e-5)
+
+
 def test_cli_quant_flag_roundtrip():
     from dynseg.cli import build_argparser, config_from_args
 
