@@ -284,6 +284,10 @@ class Config:
         check(self.infer.quant_calib_crops >= 1,
               f"quant_calib_crops must be >=1, got "
               f"{self.infer.quant_calib_crops}")
+        check(not (self.infer.quant != "none" and self.infer.quant_exit
+                   and self.model.net_type == "dilated_icpr_rate6_densely"),
+              "--quant_exit requires sequential wiring — the dense-concat "
+              "variant has no single exit stream (drop --quant_exit)")
         check(self.model.pool_backward in ("xla", "pallas"),
               f"pool_backward {self.model.pool_backward!r} not in "
               f"('xla', 'pallas')")

@@ -202,6 +202,15 @@ def test_config_validation():
     with pytest.raises(ValueError, match="quant_calib_crops"):
         replace(cfg, infer=InferConfig(quant_calib_crops=0)).validate()
     replace(cfg, infer=InferConfig(quant="int8")).validate()
+    # exit + dense-concat wiring refused at config time, not deep in
+    # quantize_variables
+    dense_model = replace(cfg.model, net_type="dilated_icpr_rate6_densely")
+    with pytest.raises(ValueError, match="sequential"):
+        replace(cfg, model=dense_model,
+                infer=InferConfig(quant="int8", quant_exit=True)).validate()
+    # quant_exit without quant is inert, not an error
+    replace(cfg, model=dense_model,
+            infer=InferConfig(quant_exit=True)).validate()
 
 
 def test_inferencer_quant_end_to_end():
