@@ -198,8 +198,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "activation scales")
     p.add_argument("--quant_exit", action="store_true",
                    help="with --quant int8: also run the final block's "
-                        "pool + head input in int8 (approximate, ~+3% "
-                        "dense; interior-only quantization is exact)")
+                        "pool + head input in int8 (approximate, ~+4% "
+                        "dense measured; interior-only quantization is "
+                        "exact)")
     p.add_argument("--export_platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for "
                         "--operation export (jax.export platforms)")
@@ -740,7 +741,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
                 # chunks reuse the quantized tree + compiled programs.
                 variables = inf.enable_quant(variables)
                 log(f"int8 serving path: quantized blocks "
-                    f"{sorted(variables['quant'])}")
+                    f"{sorted(k for k in variables['quant'] if not k.startswith('__'))}"
+                    f"{' + int8 exit' if '__exit__' in variables['quant'] else ''}")
         else:
             inf.set_tiles(tiles)
         pending = inf.predict_tile_device(variables, 0, scales)
@@ -815,7 +817,8 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
         quant_variables = Inferencer(cfg, calib_tiles).enable_quant(
             variables)
         log(f"int8 export: quantized blocks "
-            f"{sorted(quant_variables['quant'])}")
+            f"{sorted(k for k in quant_variables['quant'] if not k.startswith('__'))}"
+            f"{' + int8 exit' if '__exit__' in quant_variables['quant'] else ''}")
     out_dir = export_predictor(
         cfg, variables, stats["mean"], stats["std"],
         os.path.join(cfg.train.output_path, "export"),

@@ -175,8 +175,9 @@ class InferConfig:
     quant_calib_pct: float = 99.9
     quant_calib_crops: int = 8
     # Also run the FINAL block's pool + head input in int8 (approximate
-    # — the head input is quantized; measured ~+3% dense on top of the
-    # interior streaming). Off by default: the interior path is exact.
+    # — the head input is quantized; measured ~+4% dense on top of the
+    # interior streaming, 14.0->14.6 Mpx/s). Off by default: the
+    # interior path is exact.
     quant_exit: bool = False
 
 
@@ -288,6 +289,19 @@ class Config:
                    and self.model.net_type == "dilated_icpr_rate6_densely"),
               "--quant_exit requires sequential wiring — the dense-concat "
               "variant has no single exit stream (drop --quant_exit)")
+        if self.infer.quant != "none":
+            # Feasibility is decidable from the config alone — refuse at
+            # startup, not after hours of training + restore (review).
+            from dynseg.ops.quant import quant_plan
+
+            check(any(quant_plan(self.model, self.model.num_input_bands,
+                                 min_ch=self.infer.quant_min_ch)),
+                  f"--quant int8 selects no blocks for "
+                  f"{self.model.net_type} at width "
+                  f"{self.model.width_multiplier} with --quant_min_ch "
+                  f"{self.infer.quant_min_ch}: every layer is below the "
+                  f"measured int8 win threshold — run without --quant or "
+                  f"lower --quant_min_ch")
         check(self.model.pool_backward in ("xla", "pallas"),
               f"pool_backward {self.model.pool_backward!r} not in "
               f"('xla', 'pallas')")

@@ -134,10 +134,15 @@ def export_predictor(
         "num_classes": cfg.model.num_classes,
         "num_input_bands": cfg.model.num_input_bands,
         "compute_dtype": cfg.model.compute_dtype,
-        "quant": (cfg.infer.quant if quant_variables is not None
-                  else "none"),
-        "quant_blocks": (sorted(quant_variables["quant"])
-                         if quant_variables is not None else []),
+        # Derived from the artifact's ACTUAL contents, not cfg — a caller
+        # passing quant_variables with a default cfg must not produce a
+        # manifest claiming quant='none' over an int8 payload (review).
+        "quant": ("int8" if quant_variables is not None else "none"),
+        "quant_blocks": (sorted(
+            k for k in quant_variables["quant"] if not k.startswith("__"))
+            if quant_variables is not None else []),
+        "quant_exit": (quant_variables is not None
+                       and "__exit__" in quant_variables["quant"]),
         # Baked into the graph; recorded for audit only.
         "normalization": {
             "mean": np.asarray(mean).tolist(),

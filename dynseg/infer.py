@@ -626,9 +626,11 @@ def validate_test(
     inf = Inferencer(cfg, test_tiles, mesh=mesh)
     if cfg.infer.quant != "none":
         variables = inf.enable_quant(variables)
-        log(f"int8 serving path: quantized blocks "
-            f"{sorted(variables['quant'])} (min_ch="
-            f"{cfg.infer.quant_min_ch}, calib pct="
+        blocks = sorted(k for k in variables["quant"]
+                        if not k.startswith("__"))
+        log(f"int8 serving path: quantized blocks {blocks}"
+            f"{' + int8 exit' if '__exit__' in variables['quant'] else ''}"
+            f" (min_ch={cfg.infer.quant_min_ch}, calib pct="
             f"{cfg.infer.quant_calib_pct} over "
             f"{cfg.infer.quant_calib_crops} crops)")
     if cfg.infer.mode == "dense":
