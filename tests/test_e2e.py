@@ -114,6 +114,24 @@ def test_predict_on_unlabeled_rasters(tmp_path):
         agree = (pred == ref).mean()
         assert agree > 0.999, agree
 
+    # int8 predict path (CLI --quant): same rasters through the
+    # quantized forward must stay near the float maps.
+    import dataclasses
+
+    from dynseg.data.datasets import PALETTES
+
+    qcfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(
+            cfg.infer, quant="int8", quant_min_ch=1, quant_calib_crops=2))
+    qpaths = run_predict(qcfg, str(raw), log=lambda *_: None)
+    rgb = np.asarray(Image.open(qpaths[0]))
+    pal = PALETTES[cfg.data.dataset]
+    qpred = np.full(rgb.shape[:2], -1, np.int32)
+    for cid, color in enumerate(pal):
+        qpred[np.all(rgb == color, axis=-1)] = cid
+    agree = (qpred == s1["predictions"][0]).mean()
+    assert agree > 0.97, agree
+
 
 def test_predict_errors_without_stats(tmp_path):
     from dynseg.cli import run_predict
