@@ -122,13 +122,23 @@ tiles = TileSet(images=img[None].astype(np.float32),
 inf = Inferencer(cfg, tiles)
 mpx = size * size / 1e6
 out = {{}}
+
+def timed_best(fn, reps=3):
+    # Best-of-N: a single timed call over the tunneled remote chip can
+    # absorb a multi-hundred-ms transport stall, inverting mode rankings
+    # that repeated measurement (scripts/bench_quant.py) shows are stable.
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 for mode, fn in [("window", lambda: inf.predict_tile(variables, 0, return_probs=False)),
                  ("dense", lambda: inf.predict_tile_dense(variables, 0, return_probs=False)),
                  ("dense512", lambda: inf.predict_tile_dense(variables, 0, block=512, return_probs=False))]:
     fn()  # warm/compile
-    t0 = time.perf_counter()
-    pred, _ = fn()
-    out[mode] = round(mpx / (time.perf_counter() - t0), 3)
+    out[mode] = round(mpx / timed_best(fn), 3)
 # int8 serving-path legs (best-effort: full-width models only — the
 # narrow CPU model has no >=128-channel blocks to quantize)
 if wm >= 1.0:
@@ -142,10 +152,8 @@ if wm >= 1.0:
         qv = qinf.enable_quant(variables)
         for mode, fn in [("window_int8", lambda: qinf.predict_tile(qv, 0, return_probs=False)),
                          ("dense512_int8", lambda: qinf.predict_tile_dense(qv, 0, block=512, return_probs=False))]:
-            fn()
-            t0 = time.perf_counter()
-            fn()
-            out[mode] = round(mpx / (time.perf_counter() - t0), 3)
+            fn()  # warm/compile
+            out[mode] = round(mpx / timed_best(fn), 3)
     except Exception as e:
         out["int8_error"] = str(e)[:120]
 print("RESULT", json.dumps(out))
