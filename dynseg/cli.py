@@ -55,14 +55,17 @@ def build_argparser() -> argparse.ArgumentParser:
     # --- reference-compatible flags (SURVEY.md C1) ---
     p.add_argument("--operation", required=True,
                    choices=["training", "testing", "validate_test", "predict",
-                            "export", "serve", "info"],
+                            "export", "serve", "info", "check_data"],
                    help="training; full-tile prediction with metrics "
                         "(testing/validate_test are synonyms); predict = "
                         "inference on unlabeled rasters (--predict_path); "
                         "export = standalone StableHLO serving artifact "
                         "from the checkpoint (dynseg/export.py); serve = "
                         "HTTP server over <output_path>/export "
-                        "(dynseg/serve.py)")
+                        "(dynseg/serve.py); check_data = validate an "
+                        "on-disk dataset dump without training "
+                        "(dynseg/data/check.py — layout, GT palette "
+                        "coverage, split membership, class histogram)")
     p.add_argument("--predict_path", default="",
                    help="file or directory of rasters for --operation predict")
     p.add_argument("--predict_chunk", type=int, default=0,
@@ -111,6 +114,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "e.g. the synthetic generators' size/class_probs/"
                         "label_noise knobs)")
     # --- new-framework knobs ---
+    p.add_argument("--leaky_slope", type=float, default=0.1,
+                   help="negative slope of the leaky-ReLU inside conv blocks "
+                        "(bracket knob — SURVEY.md C6 MED confidence; texture "
+                        "bracket found it irrelevant, default kept at 0.1)")
+    p.add_argument("--use_batch_norm", default="true",
+                   choices=["true", "false"],
+                   help="batch-norm inside each conv block (bracket knob — "
+                        "texture bracket measured +1.0pp OA for 'true')")
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--pool_backward", default="xla", choices=["xla", "pallas"],
                    help="stride-1 max-pool VJP: XLA select_and_scatter or "
@@ -223,6 +234,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         model=ModelConfig(
             net_type=args.net_type,
             num_classes=NUM_CLASSES[args.dataset],
+            leaky_slope=args.leaky_slope,
+            use_batch_norm=(args.use_batch_norm == "true"),
             compute_dtype=args.compute_dtype,
             pool_backward=args.pool_backward,
         ),
@@ -959,6 +972,18 @@ def enable_compilation_cache(path: str = "/tmp/dynseg_jax_cache") -> None:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
+    if args.operation == "check_data":
+        # Pure-host pre-flight: no device, no compilation cache, exits
+        # nonzero on a bad dump (verdict r2 #7).
+        from dynseg.data.check import check_data
+
+        report = check_data(
+            cfg.data.dataset, cfg.data.dataset_path, fold=cfg.data.fold,
+            loader_kwargs=_loader_kwargs(cfg),
+            expected_bands=cfg.model.num_input_bands,
+            max_scale=max(cfg.sched.values),
+        )
+        return 0 if report["ok"] else 1
     enable_compilation_cache()
     from dynseg.utils.logging import MetricLogger
     from dynseg.utils.profiling import trace

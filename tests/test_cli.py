@@ -173,6 +173,15 @@ def test_scheduler_knob_flags():
     assert not cfg.sched.favor_high_score
 
 
+def test_model_bracket_knob_flags():
+    # The two remaining bracket knobs must be flag-settable (verdict r2 #2).
+    cfg = _cfg(["--leaky_slope", "0.2", "--use_batch_norm", "false"])
+    assert cfg.model.leaky_slope == 0.2
+    assert not cfg.model.use_batch_norm
+    cfg = _cfg([])
+    assert cfg.model.leaky_slope == 0.1 and cfg.model.use_batch_norm
+
+
 def test_dataset_kwargs_escape_hatch():
     from dynseg.cli import _loader_kwargs
 
