@@ -146,6 +146,13 @@ class InferConfig:
     dense_block: int = 256
     # Must be >= the net's receptive-field radius (~34 rate6, ~37 rate8).
     dense_halo: int = 40
+    # Blocks batched per device per forward. The v5e conv emitter runs
+    # ~2x faster when the batch dim fills the 8-wide sublane tiling
+    # (measured: (8,592,592,3) 95 TF/s vs (1,592,592,3) 47 —
+    # scripts/mfu_probe.py, r3); 0 = auto (8 when the tile has enough
+    # blocks, else all remaining — never pads small tiles with wasted
+    # duplicate compute).
+    dense_block_batch: int = 0
     # Window batches fused per device launch (a lax.scan of this static
     # length). Fixed-size chunks make every compiled program independent
     # of the tile size — a workload of many odd-sized tiles compiles ONE
@@ -263,6 +270,9 @@ class Config:
               "eval_eroded_boundaries must be >=0")
         check(self.infer.dense_block >= 1,
               f"dense_block must be >=1, got {self.infer.dense_block}")
+        check(self.infer.dense_block_batch >= 0,
+              f"dense_block_batch must be >=0 (0 = auto), got "
+              f"{self.infer.dense_block_batch}")
         check(self.infer.dense_halo >= 0,
               f"dense_halo must be >=0, got {self.infer.dense_halo} "
               f"(wrong block slicing; use 0 for the cheapest approximate "

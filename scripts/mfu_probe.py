@@ -1,0 +1,136 @@
+"""MFU / roofline probe (verdict r2 #4): put measured TF/s and %-of-peak
+numbers behind "at XLA's ceiling".
+
+Computes the exact forward FLOPs/px of a variant from its _ARCH table
+(2*k^2*Cin*Cout per conv px, stride-1 SAME => every px), then times the
+bare model forward at the shapes each production mode actually uses:
+
+  * dense block shape  (1, B+2h, B+2h, C)  — one big image per launch
+  * window batch shape (N, lambda, lambda, C) — many small images
+
+and prints TF/s per shape. The difference between these two BARE-forward
+rates isolates how much of the dense-vs-window per-forward-pixel gap is
+conv/emitter shape efficiency, as opposed to the mode pipelines around
+the forward (prob-map assembly, softmax/argmax, overlap-add).
+
+Usage:
+  python scripts/mfu_probe.py [--net dilated_icpr_rate6] [--reps 5]
+      [--platform cpu]   # cpu for logic smoke only
+Prints one JSON line per shape plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_BF16_TFS = 197.0  # TPU v5e (v5 lite) per-chip bf16 systolic peak
+
+
+def forward_flops_per_px(net_type: str, bands: int, classes: int) -> int:
+    from dynseg.models.dilated import _ARCH
+
+    arch = _ARCH["dilated_icpr_rate6" if net_type.endswith("densely")
+                  else net_type]
+    fl, cin = 0, bands
+    for k, cout, _dil, _pool in arch:
+        if net_type.endswith("densely"):
+            # dense wiring: block input is the concat of ALL previous
+            # block outputs (+ the image)
+            fl += 2 * k * k * cin * cout
+            cin += cout
+        else:
+            fl += 2 * k * k * cin * cout
+            cin = cout
+    head_in = (cin - bands) if net_type.endswith("densely") else cin
+    fl += 2 * head_in * classes
+    return fl
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", default="dilated_icpr_rate6")
+    ap.add_argument("--bands", type=int, default=3)
+    ap.add_argument("--classes", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--dense_block", type=int, default=512)
+    ap.add_argument("--dense_halo", type=int, default=40)
+    ap.add_argument("--window_scale", type=int, default=65)
+    ap.add_argument("--window_batch", type=int, default=128)
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynseg.cli import enable_compilation_cache
+    from dynseg.config import ModelConfig
+    from dynseg.models.dilated import build_model
+
+    enable_compilation_cache()
+    fpp = forward_flops_per_px(args.net, args.bands, args.classes)
+    print(json.dumps({"net": args.net,
+                      "forward_mflops_per_px": round(fpp / 1e6, 3),
+                      "train_step_mflops_per_px": round(3 * fpp / 1e6, 3),
+                      "peak_bf16_tfs": PEAK_BF16_TFS}))
+
+    cfg = ModelConfig(net_type=args.net, num_classes=args.classes,
+                      num_input_bands=args.bands,
+                      compute_dtype=args.compute_dtype)
+    model = build_model(cfg)
+    d = args.dense_block + 2 * args.dense_halo
+    shapes = {
+        "dense_block": (1, d, d, args.bands),
+        "window_batch": (args.window_batch, args.window_scale,
+                         args.window_scale, args.bands),
+    }
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 25, 25, args.bands)), train=False)
+
+    # R forwards fused into ONE device launch (lax.scan with a scalar
+    # data dependency so XLA can neither DCE nor parallelize the
+    # iterations) — the axon tunnel costs ~27 ms per launch, so
+    # launch-per-forward timing measures dispatch, not the chip; the
+    # production modes amortize identically (scan_chunk /
+    # dense_scan_chunk / steps_per_call).
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def fwd_chain(v, x, reps):
+        def body(carry, _):
+            out = model.apply(v, x + carry, train=False)
+            return jnp.mean(out) * 1e-30, ()
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return carry
+
+    for name, shape in shapes.items():
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=shape).astype(np.float32))
+        # honest sync: fetch a value that depends on the output (DESIGN.md
+        # measurement rules — block_until_ready lies on the axon tunnel)
+        float(np.asarray(fwd_chain(variables, x, args.reps)))  # warm
+        t0 = time.perf_counter()
+        float(np.asarray(fwd_chain(variables, x, args.reps)))
+        dt = (time.perf_counter() - t0) / args.reps
+        px = int(np.prod(shape[:3]))
+        tfs = px * fpp / dt / 1e12
+        print(json.dumps({
+            "shape": name, "dims": list(shape),
+            "fwd_mpx_per_s": round(px / dt / 1e6, 2),
+            "tf_per_s": round(tfs, 1),
+            "pct_bf16_peak": round(100 * tfs / PEAK_BF16_TFS, 1),
+            "wall_ms_per_fwd": round(1e3 * dt, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,29 @@ def test_dense_mode_matches_whole_tile_forward(rng):
     np.testing.assert_allclose(prob, ref, atol=1e-5)
 
 
+def test_dense_block_batch_is_output_invariant(rng):
+    """dense_block_batch is a pure scheduling knob (how many blocks ride
+    one batched forward — the v5e sublane-fill optimization, r3): every
+    value, and auto, must produce the identical probability map."""
+    ts = _tileset(rng, h=45, w=37)
+    ref = None
+    for bb in (1, 3, 8, 0):  # 0 = auto
+        cfg = cfg_for(scales=(16,))
+        cfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(
+                cfg.infer, dense_block=16, dense_halo=40,
+                dense_block_batch=bb))
+        model = build_model(cfg.model)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        inf = Inferencer(cfg, ts)
+        pred, prob = inf.predict_tile_dense(variables, 0, block=16, halo=40)
+        if ref is None:
+            ref = (pred, prob)
+        else:
+            np.testing.assert_array_equal(pred, ref[0])
+            np.testing.assert_allclose(prob, ref[1], atol=1e-6)
+
+
 def test_validate_test_dense_mode(rng):
     cfg = cfg_for(scales=(12,), window_batch=16)
     cfg = dataclasses.replace(
