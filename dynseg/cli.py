@@ -1033,7 +1033,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # (review r2: an explicit --dense_block was silently
                 # dropped here)
                 ["--dense_block", str(args.dense_block)]
-                if args.dense_block is not None else []))
+                if args.dense_block is not None else []
+            ) + (  # 0 = auto: let serve's own default (8) stand
+                ["--dense_block_batch", str(args.dense_block_batch)]
+                if args.dense_block_batch > 0 else []))
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler,

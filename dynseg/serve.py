@@ -89,7 +89,8 @@ class ServingEngine:
     """
 
     def __init__(self, predictor: ExportedPredictor, window_batch: int = 64,
-                 pipeline_depth: int = 4, dense_block: int = 1024):
+                 pipeline_depth: int = 4, dense_block: int = 1024,
+                 dense_block_batch: int = 8):
         self.p = predictor
         m = predictor.manifest
         self.bands = int(m["num_input_bands"])
@@ -107,6 +108,16 @@ class ServingEngine:
         # dominates on remote chips, so big blocks win (measured 8.0
         # Mpx/s at 1024 vs 3.8 at 512); warmup() compiles THIS size.
         self.dense_block = int(dense_block)
+        # Blocks stacked per device call: the v5e conv emitter runs ~2x
+        # faster with the batch dim filling the 8-wide sublane tiling
+        # (scripts/mfu_probe.py, r3; +21% end-to-end on a 16-block
+        # raster). The artifact's batch dim is symbolic, but each NEW
+        # concrete batch size still pays a remote XLA compile (measured
+        # 5-290s) — so ragged groups are padded up to a power of two
+        # capped at bb (_stack_group), and warmup() pre-compiles every
+        # pow2 size. A raster of any shape then never hits an unseen
+        # batch size mid-request.
+        self.dense_block_batch = max(1, int(dense_block_batch))
         # Outstanding device calls before forcing a result: artifact calls
         # dispatch asynchronously, so keeping a few in flight overlaps the
         # next upload/compute with the previous download (the dominant
@@ -138,6 +149,29 @@ class ServingEngine:
             ss.append(extent - b)
         return ss
 
+    def _block_groups(self, h: int, w: int, b: int):
+        """Block corners grouped dense_block_batch per device call (the
+        sublane-fill batching — see __init__); the last group may be
+        ragged (consumers slice outputs by the corner list, so the
+        _stack_group padding rows are discarded)."""
+        starts = [(r, c) for r in self._block_starts(h, b)
+                  for c in self._block_starts(w, b)]
+        bb = self.dense_block_batch
+        return [starts[i : i + bb] for i in range(0, len(starts), bb)]
+
+    def _stack_group(self, big: np.ndarray, grp, ext: int) -> np.ndarray:
+        """Stack one group's block inputs, padding a ragged group (by
+        repeating its last block) up to the next power of two capped at
+        dense_block_batch — the fixed menu of batch sizes warmup()
+        pre-compiles. Waste is <2x on the final group only; an unseen
+        batch size would instead stall the request on a remote compile."""
+        x = np.stack([big[r : r + ext, c : c + ext] for r, c in grp])
+        n = x.shape[0]
+        tgt = min(self.dense_block_batch, 1 << (n - 1).bit_length())
+        if tgt > n:
+            x = np.concatenate([x, np.repeat(x[-1:], tgt - n, axis=0)])
+        return x
+
     # -- estimators ---------------------------------------------------- #
     def dense(self, img: np.ndarray, block: Optional[int] = None) -> np.ndarray:
         """Blockwise whole-raster forward (dynseg.infer dense mode): halo'd
@@ -157,14 +191,14 @@ class ServingEngine:
         ext = b + 2 * halo
 
         def launches():
-            for r in self._block_starts(h, b):
-                for c in self._block_starts(w, b):
-                    x = big[r : r + ext, c : c + ext][None]
-                    yield (r, c), lambda x=x: self.p.probs_device(x)
+            for grp in self._block_groups(h, w, b):
+                x = self._stack_group(big, grp, ext)
+                yield grp, lambda x=x: self.p.probs_device(x)
 
-        for (r, c), out in self._pipelined(launches()):
-            probs[r : r + b, c : c + b] = out[0, halo : halo + b,
-                                              halo : halo + b]
+        for grp, out in self._pipelined(launches()):
+            for k, (r, c) in enumerate(grp):
+                probs[r : r + b, c : c + b] = out[k, halo : halo + b,
+                                                  halo : halo + b]
         return probs
 
     def dense_labels(self, img: np.ndarray,
@@ -192,13 +226,13 @@ class ServingEngine:
         ext = b + 2 * halo
 
         def launches():
-            for r in self._block_starts(h, b):
-                for c in self._block_starts(w, b):
-                    x = big[r : r + ext, c : c + ext][None]
-                    yield (r, c), lambda x=x: self.p.dense_labels_device(x)
+            for grp in self._block_groups(h, w, b):
+                x = self._stack_group(big, grp, ext)
+                yield grp, lambda x=x: self.p.dense_labels_device(x)
 
-        for (r, c), out in self._pipelined(launches()):
-            labels[r : r + b, c : c + b] = out[0]
+        for grp, out in self._pipelined(launches()):
+            for k, (r, c) in enumerate(grp):
+                labels[r : r + b, c : c + b] = out[k]
         return labels
 
     def window(self, img: np.ndarray,
@@ -369,6 +403,7 @@ def _encode_png(labels: np.ndarray, dataset: Optional[str]) -> bytes:
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
                 window_batch: int = 64, pipeline_depth: int = 4,
                 dense_block: int = 1024, max_request_mb: int = 512,
+                dense_block_batch: int = 8,
                 engine: Optional[ServingEngine] = None) -> ThreadingHTTPServer:
     """Bind the HTTP server. Pass a pre-built (and pre-warmed) engine to
     avoid accepting connections before the compiles are done — the
@@ -377,7 +412,8 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
         engine = ServingEngine(ExportedPredictor.load(export_dir),
                                window_batch=window_batch,
                                pipeline_depth=pipeline_depth,
-                               dense_block=dense_block)
+                               dense_block=dense_block,
+                               dense_block_batch=dense_block_batch)
     manifest = engine.p.manifest
     stats = ServerStats()
 
@@ -530,6 +566,21 @@ def warmup(engine: ServingEngine, size: int = 0) -> None:
         engine.dense_labels(img8)
     engine.dense(img8)
     engine.dense(imgf)
+    bb = engine.dense_block_batch
+    k = 2
+    while k <= bb:
+        # Production rasters run the batched programs (sublane-fill
+        # grouping): full groups at batch bb, and one ragged final group
+        # padded to a power of two (_stack_group). Compile the WHOLE
+        # pow2 menu now — a (size, size*k) raster forms exactly one
+        # k-block group per estimator — so no request shape can hit an
+        # unseen batch size mid-request (remote compiles run 5-290s).
+        wide8 = np.zeros((size, size * k, engine.bands), np.uint8)
+        if engine.p.has("dense_labels"):
+            engine.dense_labels(wide8)
+        engine.dense(wide8)
+        engine.dense(wide8.astype(np.float32))
+        k *= 2
     s = max(engine.scales)
     engine.window(img8[:s, :s])
     engine.window(imgf[:s, :s])
@@ -558,6 +609,10 @@ def main(argv=None) -> int:
     ap.add_argument("--window_batch", type=int, default=64)
     ap.add_argument("--dense_block", type=int, default=1024,
                     help="dense-estimator block size; warmup compiles it")
+    ap.add_argument("--dense_block_batch", type=int, default=8,
+                    help="dense blocks stacked per device call (8 fills "
+                         "the v5e sublane tiling, ~2x the conv rate; "
+                         "1 disables)")
     ap.add_argument("--pipeline_depth", type=int, default=4,
                     help="device calls kept in flight per request "
                          "(1 bounds memory on small hosts)")
@@ -577,7 +632,8 @@ def main(argv=None) -> int:
     engine = ServingEngine(ExportedPredictor.load(args.export_dir),
                            window_batch=args.window_batch,
                            pipeline_depth=args.pipeline_depth,
-                           dense_block=args.dense_block)
+                           dense_block=args.dense_block,
+                           dense_block_batch=args.dense_block_batch)
     if not args.no_warmup:
         print("warming serving programs (compiles cache across runs)...",
               flush=True)

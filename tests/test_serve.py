@@ -173,6 +173,29 @@ def test_dense_blockwise_exact(served, rng):
     np.testing.assert_allclose(p_small, np.asarray(ref), atol=1e-5, rtol=1e-4)
 
 
+def test_serve_dense_block_batch_invariant(served, rng):
+    """dense_block_batch is a pure scheduling knob on the serving engine
+    too (blocks stacked per artifact call — the exported dense program
+    has a symbolic batch dim): every grouping, including the ragged
+    final group, must produce the identical map."""
+    cfg, model, variables, mean, std, out = served
+    img = rng.uniform(0, 255, size=(70, 61, 3)).astype(np.float32)
+    img8 = img.astype(np.uint8)
+    ref_p = ref_l = None
+    for bb in (1, 3, 8):  # 70x61 at block 16 = 20 blocks: ragged groups
+        pred = ExportedPredictor.load(out)
+        pred.manifest["inference"]["dense_halo"] = 32
+        eng = ServingEngine(pred, dense_block=16, dense_block_batch=bb)
+        p = eng.dense(img)
+        l = eng.dense_labels(img8) if eng.p.has("dense_labels") else None
+        if ref_p is None:
+            ref_p, ref_l = p, l
+        else:
+            np.testing.assert_allclose(p, ref_p, atol=1e-6)
+            if l is not None:
+                np.testing.assert_array_equal(l, ref_l)
+
+
 def test_mirror_pad_huge_halo(rng):
     """_mirror_pad must survive a halo larger than the raster (native
     np.pad applies repeated reflection for pad >= dim on numpy >= 2 —
