@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--dense_block", type=int, default=512)
     ap.add_argument("--dense_halo", type=int, default=40)
+    ap.add_argument("--dense_batch", type=int, default=1,
+                    help="blocks per forward (dense_block_batch); 8 "
+                         "fills the v5e 8-wide sublane tiling")
     ap.add_argument("--window_scale", type=int, default=65)
     ap.add_argument("--window_batch", type=int, default=128)
     ap.add_argument("--compute_dtype", default="float32")
@@ -88,7 +91,7 @@ def main():
     model = build_model(cfg)
     d = args.dense_block + 2 * args.dense_halo
     shapes = {
-        "dense_block": (1, d, d, args.bands),
+        "dense_block": (args.dense_batch, d, d, args.bands),
         "window_batch": (args.window_batch, args.window_scale,
                          args.window_scale, args.bands),
     }
