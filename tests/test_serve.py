@@ -320,6 +320,46 @@ def test_uint8_routing_and_labels_fast_path(served, rng):
     np.testing.assert_allclose(probs_w8, probs_wf, atol=1e-6)
 
 
+def test_warmup_covers_dense_batch_menu(served, rng):
+    """warmup() must pre-compile EVERY (batch, dtype) shape the dense
+    estimators can emit — _stack_group pads ragged groups to a power of
+    two, so a raster of any block count may dispatch batch sizes
+    {1, 2, 4, ..., dense_block_batch}. An unseen batch size would stall
+    a production request on a remote XLA compile (5-290s measured)."""
+    from dynseg.serve import warmup
+
+    _, _, _, _, _, out = served
+    pred = ExportedPredictor.load(out)
+    pred.manifest["inference"]["dense_halo"] = 4
+    eng = ServingEngine(pred, dense_block=16, dense_block_batch=8,
+                        window_batch=8)
+
+    seen = set()
+    for name in ("probs_device", "dense_labels_device"):
+        if not eng.p.has("dense_labels") and name == "dense_labels_device":
+            continue
+        orig = getattr(eng.p, name)
+
+        def spy(x, _orig=orig, _name=name):
+            a = np.asarray(x)
+            seen.add((_name, a.shape[0], a.shape[1], a.shape[2], a.dtype))
+            return _orig(x)
+
+        setattr(eng.p, name, spy)
+
+    warmup(eng, size=16)
+    warm = set(seen)
+    # Rasters spanning every ragged-group size 1..8 blocks (block 16).
+    for w_blocks in range(1, 9):
+        img = rng.integers(0, 256, size=(16, 16 * w_blocks, 3),
+                           dtype=np.uint8)
+        eng.dense(img)
+        eng.dense(img.astype(np.float32))
+        if eng.p.has("dense_labels"):
+            eng.dense_labels(img)
+    assert seen == warm, f"unseen shapes past warmup: {seen - warm}"
+
+
 def test_warmup_and_sigterm_shutdown(served):
     """warmup() pre-compiles without error; SIGTERM drains the server
     cleanly (production shutdown path)."""
