@@ -86,7 +86,7 @@ def run_bench(env_extra, batch, steps, steps_per_call=1):
 
 
 INFER_SNIPPET = r"""
-import json, time, sys, os
+import json, statistics, time, sys, os
 import jax
 if os.environ.get("DYNSEG_BENCH_PLATFORM") == "cpu":
     jax.config.update("jax_platforms", "cpu")
@@ -145,7 +145,10 @@ def measure(name, one_tile_fn):
         one_pass()
         times.append(time.perf_counter() - t0)
     raw[name] = [round(t, 3) for t in times]
-    out[name] = round(mpx / sorted(times)[len(times) // 2], 3)
+    # statistics.median, not sorted()[n//2]: the latter is the UPPER
+    # middle element, so an even rep count would publish the slower rep
+    # as the "median" (review r3).
+    out[name] = round(mpx / statistics.median(times), 3)
 
 # Reference-parity mode: 5-scale sliding-window softmax voting.
 measure("window", lambda t: inf.predict_tile_device(variables, t))

@@ -121,7 +121,11 @@ class ServingEngine:
         # Outstanding device calls before forcing a result: artifact calls
         # dispatch asynchronously, so keeping a few in flight overlaps the
         # next upload/compute with the previous download (the dominant
-        # cost on remote/tunneled accelerators).
+        # cost on remote/tunneled accelerators). NOTE each in-flight
+        # dense call holds bb*(block+2h)^2 input+prob buffers — block
+        # batching multiplied the per-call footprint by bb (defaults:
+        # ~350 MB/call f32, ~1.7 GB at depth 4 — fine for a 16 GB v5e;
+        # drop depth or bb on smaller devices).
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._lock = threading.Lock()  # artifact .call is not thread-safe
 
@@ -567,12 +571,17 @@ def warmup(engine: ServingEngine, size: int = 0) -> None:
     engine.dense(img8)
     engine.dense(imgf)
     bb = engine.dense_block_batch
-    k = 2
-    while k <= bb:
+    ks, k = [], 2
+    while k < bb:
+        ks.append(k)
+        k *= 2
+    if bb > 1:
+        ks.append(bb)  # full groups run exactly bb — even a non-pow2 one
+    for k in ks:
         # Production rasters run the batched programs (sublane-fill
         # grouping): full groups at batch bb, and one ragged final group
-        # padded to a power of two (_stack_group). Compile the WHOLE
-        # pow2 menu now — a (size, size*k) raster forms exactly one
+        # padded to a power of two capped at bb (_stack_group). Compile
+        # the WHOLE menu now — a (size, size*k) raster forms exactly one
         # k-block group per estimator — so no request shape can hit an
         # unseen batch size mid-request (remote compiles run 5-290s).
         wide8 = np.zeros((size, size * k, engine.bands), np.uint8)
@@ -580,7 +589,6 @@ def warmup(engine: ServingEngine, size: int = 0) -> None:
             engine.dense_labels(wide8)
         engine.dense(wide8)
         engine.dense(wide8.astype(np.float32))
-        k *= 2
     s = max(engine.scales)
     engine.window(img8[:s, :s])
     engine.window(imgf[:s, :s])
@@ -614,8 +622,10 @@ def main(argv=None) -> int:
                          "the v5e sublane tiling, ~2x the conv rate; "
                          "1 disables)")
     ap.add_argument("--pipeline_depth", type=int, default=4,
-                    help="device calls kept in flight per request "
-                         "(1 bounds memory on small hosts)")
+                    help="device calls kept in flight per request; each "
+                         "dense call holds dense_block_batch blocks "
+                         "(~350 MB at defaults), so memory scales with "
+                         "depth*batch — lower either on small devices")
     ap.add_argument("--max_request_mb", type=int, default=512,
                     help="reject request bodies above this size (413)")
     ap.add_argument("--no_warmup", action="store_true",

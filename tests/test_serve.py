@@ -323,15 +323,17 @@ def test_uint8_routing_and_labels_fast_path(served, rng):
 def test_warmup_covers_dense_batch_menu(served, rng):
     """warmup() must pre-compile EVERY (batch, dtype) shape the dense
     estimators can emit — _stack_group pads ragged groups to a power of
-    two, so a raster of any block count may dispatch batch sizes
-    {1, 2, 4, ..., dense_block_batch}. An unseen batch size would stall
-    a production request on a remote XLA compile (5-290s measured)."""
+    two CAPPED at dense_block_batch, so a raster of any block count may
+    dispatch batch sizes {1, 2, 4, ...} up to AND INCLUDING bb itself —
+    a non-pow2 bb (here 6) runs every full group at exactly 6 (review
+    r3: the pow2-only warmup loop missed it). An unseen batch size would
+    stall a production request on a remote XLA compile (5-290s)."""
     from dynseg.serve import warmup
 
     _, _, _, _, _, out = served
     pred = ExportedPredictor.load(out)
     pred.manifest["inference"]["dense_halo"] = 4
-    eng = ServingEngine(pred, dense_block=16, dense_block_batch=8,
+    eng = ServingEngine(pred, dense_block=16, dense_block_batch=6,
                         window_batch=8)
 
     seen = set()
@@ -349,7 +351,8 @@ def test_warmup_covers_dense_batch_menu(served, rng):
 
     warmup(eng, size=16)
     warm = set(seen)
-    # Rasters spanning every ragged-group size 1..8 blocks (block 16).
+    # Rasters spanning group sizes 1..8 blocks (block 16): full groups
+    # of 6 plus every ragged remainder the pow2 padding can produce.
     for w_blocks in range(1, 9):
         img = rng.integers(0, 256, size=(16, 16 * w_blocks, 3),
                            dtype=np.uint8)
