@@ -16,7 +16,8 @@ from typing import Sequence
 # (SURVEY.md C12: lambda in {25,...,65}).
 DEFAULT_SCALES = (25, 35, 45, 55, 65)
 
-DISTRIBUTION_TYPES = ("single_fixed", "multi_fixed", "uniform", "multinomial")
+DISTRIBUTION_TYPES = ("single_fixed", "multi_fixed", "uniform", "multinomial",
+                      "multinomial_stratified")
 UPDATE_TYPES = ("acc", "loss", "balanced_acc")
 NET_TYPES = (
     "dilated_icpr_rate6",

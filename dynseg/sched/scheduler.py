@@ -12,6 +12,19 @@ Distribution types ([R] dynamic.py:≈select_scale; flag distribution_type):
   * multi_fixed   — deterministic cycle over values
   * uniform       — uniform random over values
   * multinomial   — sample proportional to normalized per-scale scores
+  * multinomial_stratified — beyond-reference (round 3): DETERMINISTIC
+    largest-deficit scheduling over the same score-derived probabilities.
+    Built as a control for BENCHMARKS.md "uninformative-scales regime"
+    finding 4 (the hypothesis that the iid sampler's VISITATION variance
+    is what loses to cycling on long clean-label horizons): it keeps the
+    reallocation ability (allocation tracks p with discrepancy < 1 step
+    per scale at fixed p) and removes the sampling noise entirely —
+    with flat scores it reduces exactly to multi_fixed's round-robin.
+    Measured outcome (finding 5): the hypothesis was REFUTED — within
+    noise of both parents on the uninf set, and it does NOT inherit
+    cycling's clean-horizon advantage (−7.9pp ± 10.5 paired, same
+    collapse seeds as the iid multinomial). Ships with no accuracy
+    claim; its value is exact, resumable, RNG-free scale allocation.
 
 Score update ([R] dynamic.py:≈update scores in train loop): exponential
 moving average of the chosen scale's batch accuracy or loss
@@ -43,6 +56,11 @@ class ScaleScheduler:
         self._scores: Dict[int, Optional[float]] = {v: None for v in self.values}
         self._counts: Dict[int, int] = {v: 0 for v in self.values}
         self._cycle = 0
+        # multinomial_stratified bookkeeping: times each scale has been
+        # served and the total steps scheduled (floats: deficits are
+        # fractional between serves; counts themselves stay integral).
+        self._served: Dict[int, float] = {v: 0.0 for v in self.values}
+        self._t = 0
         # Set by load_state_dict when the checkpoint's score SEMANTICS
         # (update_type / favor_high_score — they decide how scores map to
         # fitness) differ from the caller's cfg: {field: (ckpt, cli)}.
@@ -64,7 +82,29 @@ class ScaleScheduler:
             return int(self.rng.choice(self.values))
         if d == "multinomial":
             return int(self.rng.choice(self.values, p=self.probabilities()))
+        if d == "multinomial_stratified":
+            return self._select_stratified()
         raise ValueError(f"unknown distribution_type: {d!r}")
+
+    def _select_stratified(self) -> int:
+        """Largest-deficit scheduling (weighted round-robin / Bresenham):
+        serve the scale whose fair share p_i*(t+1) most exceeds its serve
+        count. Deterministic; at FIXED p the served counts never drift
+        more than 1 step from exact proportionality, and with flat p the
+        argmax tie-breaking yields plain round-robin in values order —
+        i.e. multi_fixed is the degenerate case. p re-reads the live
+        score table every step, so allocation adapts online exactly like
+        the iid multinomial, minus its visitation variance."""
+        p = self.probabilities()
+        self._t += 1
+        deficits = [
+            p[i] * self._t - self._served[v]
+            for i, v in enumerate(self.values)
+        ]
+        best = int(np.argmax(deficits))  # ties -> lowest index (stable)
+        v = self.values[best]
+        self._served[v] += 1.0
+        return v
 
     def probabilities(self) -> np.ndarray:
         """Current multinomial over scales (normalized fitness scores).
@@ -139,6 +179,8 @@ class ScaleScheduler:
             "scores": {str(k): v for k, v in self._scores.items()},
             "counts": {str(k): v for k, v in self._counts.items()},
             "cycle": self._cycle,
+            "served": {str(k): v for k, v in self._served.items()},
+            "t": self._t,
             "rng_state": self.rng.bit_generator.state,
             # Score-interpretation semantics: without them a restored
             # table can be ranked under the WRONG convention (e.g. a
@@ -156,6 +198,17 @@ class ScaleScheduler:
         # with CLI defaults on a checkpoint trained with other scales).
         self.values = list(self._scores)
         self._cycle = int(state["cycle"])
+        # Stratified deficit counters (pre-r3 checkpoints lack the keys:
+        # restart the deficit clock — allocation re-converges to the
+        # score table within len(values) steps, no schedule discontinuity
+        # beyond that).
+        served = state.get("served")
+        self._served = (
+            {int(k): float(v) for k, v in served.items()}
+            if served is not None
+            else {v: 0.0 for v in self.values}
+        )
+        self._t = int(state.get("t", 0))
         self.rng.bit_generator.state = state["rng_state"]
         # Adopt the checkpoint's score semantics for the same reason the
         # values are adopted: the TABLE defines what the scores mean.

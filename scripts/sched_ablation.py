@@ -201,6 +201,11 @@ def main() -> int:
         "sched_temperature": args.sched_temperature,
         "distributions": dists, "tag": args.tag,
         "rescale_batch_by_area": args.rescale_batch_by_area,
+        # Provenance: the generator knobs are part of the protocol (the
+        # @clean3k leg IS label_noise=0.0) — without them a JSON can't
+        # be reproduced or paired against (noticed reconstructing the
+        # clean3k invocation from a shell script, r3).
+        "dataset_kwargs": args.dataset_kwargs,
         "results": results,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -162,3 +162,91 @@ def test_restore_adopts_checkpoint_semantics():
     c = ScaleScheduler(cli_default, seed=3)
     c.load_state_dict(legacy)
     assert not c.semantics_adopted and c.cfg.update_type == "acc"
+
+
+# --------------------------------------------------------------------- #
+# multinomial_stratified (round 3, beyond-reference): deterministic
+# largest-deficit scheduling over the score-derived probabilities.
+# --------------------------------------------------------------------- #
+
+def test_stratified_flat_scores_is_round_robin():
+    """With no feedback (uniform optimistic p) stratified selection must
+    degenerate to multi_fixed's deterministic cycle — by construction it
+    can never do worse than cycling when scores carry no signal."""
+    s = ScaleScheduler(SchedulerConfig(
+        distribution_type="multinomial_stratified", values=(25, 35, 45)))
+    assert [s.select() for _ in range(9)] == [25, 35, 45] * 3
+
+
+def test_stratified_allocation_tracks_probabilities():
+    """At a fixed skewed score table, served counts stay within 1 step of
+    exact proportionality p_i * t (the WRR/Bresenham bound) — the
+    reallocation the iid multinomial does in expectation, without its
+    visitation variance."""
+    cfg = SchedulerConfig(
+        distribution_type="multinomial_stratified", values=(25, 35, 45),
+        update_type="acc", favor_high_score=True, ema=0.5,
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    for _ in range(30):  # pin a skewed table: 0.9 / 0.3 / 0.6
+        s.update(25, loss=1.0, acc=0.9)
+        s.update(35, loss=1.0, acc=0.3)
+        s.update(45, loss=1.0, acc=0.6)
+    p = s.probabilities()
+    served = {v: 0 for v in cfg.values}
+    for t in range(1, 601):
+        served[s.select()] += 1
+        for i, v in enumerate(cfg.values):
+            assert abs(served[v] - p[i] * t) <= 1.0 + 1e-9, (t, v, served)
+    # and the best scale really is served most
+    assert served[25] > served[45] > served[35]
+
+
+def test_stratified_adapts_online():
+    """The deficit schedule re-reads the live table each step: when the
+    scores flip mid-run, the allocation flips with them."""
+    cfg = SchedulerConfig(
+        distribution_type="multinomial_stratified", values=(25, 65),
+        update_type="acc", favor_high_score=True, ema=0.0,  # ema=0: score = last metric
+        temperature=0.25,  # sharpen so the allocation skew is visible
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    s.update(25, loss=1.0, acc=0.9)
+    s.update(65, loss=1.0, acc=0.1)
+    first = [s.select() for _ in range(40)]
+    assert first.count(25) > first.count(65)
+    s.update(25, loss=1.0, acc=0.1)
+    s.update(65, loss=1.0, acc=0.9)
+    second = [s.select() for _ in range(40)]
+    assert second.count(65) > second.count(25)
+
+
+def test_stratified_state_roundtrip_continues_schedule():
+    """Resume parity: restoring the deficit counters mid-cycle must
+    continue the EXACT selection sequence (same guarantee multi_fixed
+    gets from its cycle counter)."""
+    cfg = SchedulerConfig(
+        distribution_type="multinomial_stratified", values=(25, 35, 45))
+    a = ScaleScheduler(cfg, seed=3)
+    for i in range(7):  # stop mid-cycle on purpose
+        a.update(a.select(), loss=1.0, acc=0.2 + 0.1 * (i % 3))
+    st = a.state_dict()
+    b = ScaleScheduler(cfg, seed=999)
+    b.load_state_dict(st)
+    assert [a.select() for _ in range(20)] == [b.select() for _ in range(20)]
+
+
+def test_stratified_pre_r3_checkpoint_loads():
+    """Checkpoints written before the deficit counters existed must load
+    (fresh deficit clock), so old runs can resume INTO the new mode."""
+    old = ScaleScheduler(SchedulerConfig(
+        distribution_type="multinomial", values=(25, 35)), seed=0)
+    for _ in range(5):
+        old.update(old.select(), loss=1.0, acc=0.5)
+    st = old.state_dict()
+    del st["served"], st["t"]  # simulate a pre-r3 checkpoint
+    s = ScaleScheduler(SchedulerConfig(
+        distribution_type="multinomial_stratified", values=(25, 35)), seed=0)
+    s.load_state_dict(st)
+    picks = [s.select() for _ in range(4)]
+    assert set(picks) == {25, 35}  # deficit clock restarts cleanly
