@@ -159,6 +159,17 @@ measure("window", lambda t: inf.predict_tile_device(variables, t))
 # concentrates on).
 measure("window_top2",
         lambda t: inf.predict_tile_device(variables, t, scales=scales[-2:]))
+# ... and the same recipe in bfloat16 activations — measured
+# accuracy-FREE on the window estimator (<=0.01pp OA, 3 seeds;
+# docs/bf16_eval.json) and 1.31x, i.e. the full recommended serving
+# config for dynamically-trained checkpoints (--compute_dtype bfloat16
+# --scales_from_scheduler 2). Params stay float32; same variables.
+import dataclasses
+bcfg = dataclasses.replace(
+    cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+binf = Inferencer(bcfg, tiles)
+measure("window_top2_bf16",
+        lambda t: binf.predict_tile_device(variables, t, scales=scales[-2:]))
 # Beyond-reference dense mode (blockwise whole-tile forward).
 blk = min(512, size)
 measure("dense512",
@@ -168,7 +179,6 @@ measure("dense512",
 # the measured-best int8 recipe (BENCHMARKS "int8 serving path").
 if wm >= 1.0:
     try:
-        import dataclasses
         qcfg = dataclasses.replace(
             cfg, infer=dataclasses.replace(cfg.infer, quant="int8",
                                            quant_exit=True,

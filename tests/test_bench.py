@@ -63,6 +63,9 @@ def test_infer_bench_smoke():
     })
     assert result and result["window"] > 0 and result["dense512"] > 0
     assert result["window_top2"] > 0
+    # the recommended serving config (top-2 + bfloat16 activations) is a
+    # first-class leg (r3; accuracy-free per docs/bf16_eval.json)
+    assert result["window_top2_bf16"] > 0
     # measurement metadata rides along (ADVICE r2: raw times + reps)
     assert result["reps"] == 2
     assert len(result["raw_pass_s"]["window"]) == 2

@@ -249,6 +249,46 @@ def test_resume_continues_iteration(tmp_path):
     assert sched2.state_dict()["scores"] == sched.state_dict()["scores"]
 
 
+def test_stratified_scheduler_checkpoint_roundtrip(tmp_path):
+    """The multinomial_stratified deficit counters (served/t — r3) must
+    survive the REAL checkpoint layer (orbax serialization), not just
+    state_dict(): a restored scheduler continues the exact deterministic
+    selection sequence (live-verified on chip; this pins it on CPU)."""
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import Trainer
+    from dynseg.data.datasets import load_synthetic
+    from dynseg.config import Config, SchedulerConfig, TrainConfig, DataConfig
+
+    cfg = Config(
+        model=ModelConfig(net_type="dilated_grsl", num_classes=2,
+                          width_multiplier=0.125),
+        sched=SchedulerConfig(distribution_type="multinomial_stratified",
+                              values=(9, 13)),
+        train=TrainConfig(batch_size=8, niter=5, seed=0,
+                          output_path=str(tmp_path)),
+        data=DataConfig(dataset="synthetic"),
+    )
+    train_tiles, _ = load_synthetic(seed=0, num_tiles=2, size=96)
+    trainer = Trainer(cfg, train_tiles)
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    state = trainer.init_state(jax.random.key(0))
+    rng = jax.random.key(1)
+    for i in range(3):  # stop mid-cycle: deficits are fractional here
+        lam = sched.select()
+        rng, dr = jax.random.split(rng)
+        state, _ = trainer.train_step(state, lam, dr)
+        sched.update(lam, 1.0, 0.4 + 0.1 * i)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(3, state, sched)
+
+    sched2 = ScaleScheduler(cfg.sched, seed=999)  # different seed on purpose
+    _, step = ckpt.restore(trainer, sched2)
+    assert step == 3
+    assert [sched.select() for _ in range(12)] == \
+           [sched2.select() for _ in range(12)]
+
+
 def test_keep_best_and_use_best_flow(tmp_path):
     """--keep_best saves the top-validation checkpoint during training;
     --use_best restores it for validate_test."""
