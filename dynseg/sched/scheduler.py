@@ -13,13 +13,16 @@ Distribution types ([R] dynamic.py:≈select_scale; flag distribution_type):
   * uniform       — uniform random over values
   * multinomial   — sample proportional to normalized per-scale scores
   * multinomial_stratified — beyond-reference (round 3): DETERMINISTIC
-    largest-deficit scheduling over the same score-derived probabilities.
+    credit-based smooth weighted round-robin over the same score-derived
+    probabilities.
     Built as a control for BENCHMARKS.md "uninformative-scales regime"
     finding 4 (the hypothesis that the iid sampler's VISITATION variance
     is what loses to cycling on long clean-label horizons): it keeps the
     reallocation ability (allocation tracks p with discrepancy < 1 step
-    per scale at fixed p) and removes the sampling noise entirely —
-    with flat scores it reduces exactly to multi_fixed's round-robin.
+    per scale at fixed p, and adapts to a score shift at the new rates
+    within ~1/p steps — credits are bounded, no history effect) and
+    removes the sampling noise entirely — with flat scores it reduces
+    exactly to multi_fixed's round-robin.
     Measured outcome (finding 5): the hypothesis was REFUTED — within
     noise of both parents on the uninf set, and it does NOT inherit
     cycling's clean-horizon advantage (−7.9pp ± 10.5 paired, same
@@ -56,11 +59,14 @@ class ScaleScheduler:
         self._scores: Dict[int, Optional[float]] = {v: None for v in self.values}
         self._counts: Dict[int, int] = {v: 0 for v in self.values}
         self._cycle = 0
-        # multinomial_stratified bookkeeping: times each scale has been
-        # served and the total steps scheduled (floats: deficits are
-        # fractional between serves; counts themselves stay integral).
-        self._served: Dict[int, float] = {v: 0.0 for v in self.values}
-        self._t = 0
+        # multinomial_stratified bookkeeping: per-scale credit for
+        # smooth/dynamic weighted round-robin (credit_i += p_i(now) each
+        # step; serve argmax; credit -= 1). Credits — NOT cumulative
+        # "served vs fair share p_i*t" deficits: the deficit form applies
+        # the CURRENT p retroactively to the whole run history, so a late
+        # score shift would lock selection onto one scale for a stretch
+        # proportional to all elapsed steps (review r3).
+        self._credit: Dict[int, float] = {v: 0.0 for v in self.values}
         # Set by load_state_dict when the checkpoint's score SEMANTICS
         # (update_type / favor_high_score — they decide how scores map to
         # fitness) differ from the caller's cfg: {field: (ckpt, cli)}.
@@ -87,23 +93,29 @@ class ScaleScheduler:
         raise ValueError(f"unknown distribution_type: {d!r}")
 
     def _select_stratified(self) -> int:
-        """Largest-deficit scheduling (weighted round-robin / Bresenham):
-        serve the scale whose fair share p_i*(t+1) most exceeds its serve
-        count. Deterministic; at FIXED p the served counts never drift
-        more than 1 step from exact proportionality, and with flat p the
-        argmax tie-breaking yields plain round-robin in values order —
-        i.e. multi_fixed is the degenerate case. p re-reads the live
-        score table every step, so allocation adapts online exactly like
-        the iid multinomial, minus its visitation variance."""
+        """Credit-based smooth weighted round-robin: every step each
+        scale accrues credit equal to its CURRENT probability, the
+        largest credit is served and pays 1. Deterministic; at FIXED p
+        this telescopes to credit_i = p_i*t − served_i, so served counts
+        never drift more than 1 step from exact proportionality, and
+        with flat p the argmax tie-breaking yields plain round-robin in
+        values order — i.e. multi_fixed is the degenerate case. Credits
+        stay bounded (they sum to 0 invariantly), so when the live score
+        table shifts, allocation adapts at the NEW rates within ~1/p
+        steps — unlike the cumulative-deficit form, which reweights the
+        whole history under the new p and can starve a scale for a
+        stretch proportional to total elapsed steps (review r3)."""
         p = self.probabilities()
-        self._t += 1
-        deficits = [
-            p[i] * self._t - self._served[v]
-            for i, v in enumerate(self.values)
-        ]
-        best = int(np.argmax(deficits))  # ties -> lowest index (stable)
+        for i, v in enumerate(self.values):
+            self._credit[v] += p[i]
+        carr = np.array([self._credit[v] for v in self.values])
+        # Ties break to the LOWEST index, within an epsilon: float
+        # accumulation noise (~1e-16/step) would otherwise permute the
+        # flat-p round-robin order; genuine score differences move
+        # credits by >=1e-3/step, far above the tolerance.
+        best = int(np.argmax(carr >= carr.max() - 1e-9))
         v = self.values[best]
-        self._served[v] += 1.0
+        self._credit[v] -= 1.0
         return v
 
     def probabilities(self) -> np.ndarray:
@@ -179,8 +191,7 @@ class ScaleScheduler:
             "scores": {str(k): v for k, v in self._scores.items()},
             "counts": {str(k): v for k, v in self._counts.items()},
             "cycle": self._cycle,
-            "served": {str(k): v for k, v in self._served.items()},
-            "t": self._t,
+            "credit": {str(k): v for k, v in self._credit.items()},
             "rng_state": self.rng.bit_generator.state,
             # Score-interpretation semantics: without them a restored
             # table can be ranked under the WRONG convention (e.g. a
@@ -198,17 +209,16 @@ class ScaleScheduler:
         # with CLI defaults on a checkpoint trained with other scales).
         self.values = list(self._scores)
         self._cycle = int(state["cycle"])
-        # Stratified deficit counters (pre-r3 checkpoints lack the keys:
-        # restart the deficit clock — allocation re-converges to the
+        # Stratified WRR credits (pre-r3 checkpoints lack the key:
+        # restart from zero credits — allocation re-converges to the
         # score table within len(values) steps, no schedule discontinuity
         # beyond that).
-        served = state.get("served")
-        self._served = (
-            {int(k): float(v) for k, v in served.items()}
-            if served is not None
+        credit = state.get("credit")
+        self._credit = (
+            {int(k): float(v) for k, v in credit.items()}
+            if credit is not None
             else {v: 0.0 for v in self.values}
         )
-        self._t = int(state.get("t", 0))
         self.rng.bit_generator.state = state["rng_state"]
         # Adopt the checkpoint's score semantics for the same reason the
         # values are adopted: the TABLE defines what the scores mean.

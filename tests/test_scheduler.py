@@ -203,22 +203,59 @@ def test_stratified_allocation_tracks_probabilities():
 
 
 def test_stratified_adapts_online():
-    """The deficit schedule re-reads the live table each step: when the
-    scores flip mid-run, the allocation flips with them."""
+    """The credit schedule re-reads the live table each step: when the
+    scores flip mid-run, the allocation flips with them — AND the
+    post-flip window tracks the NEW p, not a history-weighted blend.
+    A count-ordering assertion alone would mask the cumulative-deficit
+    bug (review r3): after a flip that form serves ONLY the newly
+    favored scale for ~all-elapsed-steps, which still 'wins' the count
+    while starving the other scale entirely."""
     cfg = SchedulerConfig(
         distribution_type="multinomial_stratified", values=(25, 65),
         update_type="acc", favor_high_score=True, ema=0.0,  # ema=0: score = last metric
-        temperature=0.25,  # sharpen so the allocation skew is visible
     )
     s = ScaleScheduler(cfg, seed=0)
     s.update(25, loss=1.0, acc=0.9)
     s.update(65, loss=1.0, acc=0.1)
+    p_hi = max(s.probabilities())  # 0.9 at T=1 — both rates measurable
     first = [s.select() for _ in range(40)]
     assert first.count(25) > first.count(65)
     s.update(25, loss=1.0, acc=0.1)
     s.update(65, loss=1.0, acc=0.9)
     second = [s.select() for _ in range(40)]
     assert second.count(65) > second.count(25)
+    # WRR bound at the new (fixed) p, +1 slack for bounded pre-flip
+    # credits: both scales are served at ~their current rate.
+    assert abs(second.count(65) - p_hi * 40) <= 2.0
+    assert second.count(25) >= 1
+
+
+def test_stratified_no_history_lockout_after_score_shift():
+    """Regression (review r3): a LONG skewed history followed by a score
+    flip must not starve the newly-disfavored scale for a stretch
+    proportional to elapsed steps. The cumulative-deficit form
+    (p_i*t_total − served_total) fails this: after 1000 steps at
+    p≈(0.9,0.1) and a flip, it selects scale 65 exclusively for
+    thousands of steps. Credits are bounded, so adaptation happens at
+    the new rates immediately regardless of history length."""
+    cfg = SchedulerConfig(
+        distribution_type="multinomial_stratified", values=(25, 65),
+        update_type="acc", favor_high_score=True, ema=0.0,
+    )
+    s = ScaleScheduler(cfg, seed=0)
+    s.update(25, loss=1.0, acc=0.9)
+    s.update(65, loss=1.0, acc=0.1)
+    for _ in range(1000):
+        s.select()
+    s.update(25, loss=1.0, acc=0.1)
+    s.update(65, loss=1.0, acc=0.9)
+    p = s.probabilities()  # now (0.1, 0.9) at T=1
+    window = [s.select() for _ in range(50)]
+    # the minority scale is visited at ~its current rate within ONE
+    # short window, not after a history-sized drought
+    assert window.count(25) >= int(min(p) * 50) - 2
+    assert window.count(25) >= 1
+    assert window.count(65) > window.count(25)
 
 
 def test_stratified_state_roundtrip_continues_schedule():
@@ -237,16 +274,16 @@ def test_stratified_state_roundtrip_continues_schedule():
 
 
 def test_stratified_pre_r3_checkpoint_loads():
-    """Checkpoints written before the deficit counters existed must load
-    (fresh deficit clock), so old runs can resume INTO the new mode."""
+    """Checkpoints written before the WRR credits existed must load
+    (fresh zero credits), so old runs can resume INTO the new mode."""
     old = ScaleScheduler(SchedulerConfig(
         distribution_type="multinomial", values=(25, 35)), seed=0)
     for _ in range(5):
         old.update(old.select(), loss=1.0, acc=0.5)
     st = old.state_dict()
-    del st["served"], st["t"]  # simulate a pre-r3 checkpoint
+    del st["credit"]  # simulate a pre-r3 checkpoint
     s = ScaleScheduler(SchedulerConfig(
         distribution_type="multinomial_stratified", values=(25, 35)), seed=0)
     s.load_state_dict(st)
     picks = [s.select() for _ in range(4)]
-    assert set(picks) == {25, 35}  # deficit clock restarts cleanly
+    assert set(picks) == {25, 35}  # credit clock restarts cleanly
