@@ -128,6 +128,19 @@ FACTS = [
                "multinomial} (dynseg/sched/scheduler.py)",
          patterns=[r"single_fixed", r"multi_fixed", r"multinomial"],
          mode="confirm"),
+    dict(id="uniform-support", component="C12",
+         claim="the 'uniform' distribution's SUPPORT: our scheduler "
+               "samples uniformly over the --values LIST "
+               "(dynseg/sched/scheduler.py _select uniform branch); "
+               "SURVEY.md C12's wording ('uniform over range') admits a "
+               "second reading — uniform over the 25..65 INTEGER range — "
+               "which would feed the net patch sizes never bucketed. "
+               "Check which support the reference's uniform branch draws "
+               "from (np.random.randint over a range vs random.choice "
+               "over the values list) — a semantic divergence flagged by "
+               "the r3 judge (VERDICT r3 'What's missing' #1)",
+         patterns=[r"uniform", r"randint", r"random\.choice",
+                   r"random_integers"], mode="manual"),
     dict(id="sched-update", component="C12",
          claim="score update rule: per-scale scores updated each batch "
                "from loss or acc; favor HIGH score (paper reading; "
