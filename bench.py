@@ -23,6 +23,28 @@ import sys
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
+DISPATCH_PROBE = r"""
+def dispatch_ms():
+    # Measured per-launch round-trip (enqueue + tiny kernel + value
+    # fetch) — the tunnel-weather stamp (verdict r3 #3b): the strict
+    # spc=1 train number is launch-bound (~27 ms dispatch vs ~5 ms of
+    # device work per step, BENCHMARKS.md MFU section), so same-day
+    # captures swing 2x with tunnel latency. This stamp lets a consumer
+    # of the JSON tell tunnel weather from framework speed. Uses a real
+    # value fetch, not block_until_ready (axon measurement rules).
+    import statistics as _st
+    import jax.numpy as _jnp
+    _tiny = jax.jit(lambda x: x + 1.0)
+    _v = _jnp.float32(0.0)
+    float(np.asarray(_tiny(_v)))  # compile
+    _ts = []
+    for _ in range(10):
+        _t0 = time.perf_counter()
+        float(np.asarray(_tiny(_v)))
+        _ts.append(time.perf_counter() - _t0)
+    return round(_st.median(_ts) * 1000.0, 2)
+"""
+
 BENCH_SNIPPET = r"""
 import json, time, sys, os
 import jax
@@ -33,6 +55,7 @@ sys.path.insert(0, {repo!r})
 from dynseg.cli import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
+{dispatch_probe}
 from dynseg.config import Config, DataConfig, ModelConfig, SchedulerConfig, TrainConfig
 from dynseg.data.datasets import load_synthetic
 from dynseg.train import Trainer
@@ -67,6 +90,7 @@ for _ in range(steps):
 float(np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
 dt = time.perf_counter() - t0
 print("RESULT", json.dumps({{"patches_per_sec": batch * steps * spc / dt,
+                             "dispatch_ms": dispatch_ms(),
                              "platform": jax.devices()[0].platform}}))
 """
 
@@ -74,7 +98,7 @@ print("RESULT", json.dumps({{"patches_per_sec": batch * steps * spc / dt,
 def run_bench(env_extra, batch, steps, steps_per_call=1):
     env = dict(os.environ)
     env.update(env_extra)
-    code = BENCH_SNIPPET.format(repo=REPO)
+    code = BENCH_SNIPPET.format(repo=REPO, dispatch_probe=DISPATCH_PROBE)
     out = subprocess.run(
         [sys.executable, "-c", code, str(batch), str(steps), str(steps_per_call)],
         capture_output=True, text=True, env=env, timeout=1800,
@@ -92,6 +116,7 @@ if os.environ.get("DYNSEG_BENCH_PLATFORM") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
 import numpy as np
+{dispatch_probe}
 from dynseg.cli import enable_compilation_cache
 enable_compilation_cache()
 from dynseg.config import Config, DataConfig, InferConfig, ModelConfig, SchedulerConfig, TrainConfig
@@ -107,9 +132,12 @@ import jax.numpy as jnp
 # per pass so per-tile launch overhead is steady-state, median of N reps
 # (robust to one tunnel stall without the optimism of best-of), raw
 # per-rep wall times recorded in the JSON for reproducibility (ADVICE r2).
+# Default reps 5, not 3 (verdict r3 #3a): the documented ~2x tunnel
+# variance put a 2.6x outlier in r3's 3-rep window_top2_bf16 capture —
+# one more stall would have flipped the median to the stalled value.
 size = int(os.environ.get("DYNSEG_BENCH_INFER_SIZE", "2048"))
 n_tiles = int(os.environ.get("DYNSEG_BENCH_INFER_TILES", "2"))
-reps = int(os.environ.get("DYNSEG_BENCH_INFER_REPS", "3"))
+reps = int(os.environ.get("DYNSEG_BENCH_INFER_REPS", "5"))
 wm = float(os.environ.get("DYNSEG_BENCH_WIDTH", "1.0"))
 scales = (25, 35, 45, 55, 65) if size >= 256 else (9, 13)
 cfg = Config(
@@ -193,6 +221,7 @@ if wm >= 1.0:
 out["raw_pass_s"] = raw
 out["pass_mpx"] = round(mpx, 4)
 out["reps"] = reps
+out["dispatch_ms"] = dispatch_ms()
 print("RESULT", json.dumps(out))
 """
 
@@ -202,7 +231,8 @@ def run_infer_bench(env_extra=None):
     env.update(env_extra or {})
     try:
         out = subprocess.run(
-            [sys.executable, "-c", INFER_SNIPPET.format(repo=REPO)],
+            [sys.executable, "-c",
+             INFER_SNIPPET.format(repo=REPO, dispatch_probe=DISPATCH_PROBE)],
             capture_output=True, text=True, env=env, timeout=1500,
         )
         for line in out.stdout.splitlines():
@@ -213,6 +243,125 @@ def run_infer_bench(env_extra=None):
     except Exception as e:  # noqa: BLE001 — best-effort leg, but say why
         print(f"infer bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
     return None  # inference extras are best-effort; train metric stands
+
+
+TRAINED_SNIPPET = r"""
+import dataclasses, json, statistics, tempfile, time, sys, os
+import jax
+if os.environ.get("DYNSEG_BENCH_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+import numpy as np
+from dynseg.cli import enable_compilation_cache
+enable_compilation_cache()
+
+# Trained-checkpoint serving leg (verdict r3 #4): the window_top2 legs
+# above hardcode scales[-2:] on a RANDOM-INIT model — a throughput proxy
+# whose accuracy provenance lives in separate ablation scripts. This leg
+# measures the ACTUAL shipped recipe end-to-end: train a real (small)
+# dynamic-schedule checkpoint on the context-sensitive texture benchmark,
+# restore it through the trainer-free serving path, take the top-K scales
+# from the TRAINED scheduler (--scales_from_scheduler 2 semantics), and
+# time bf16 window voting at those scales — so the driver-captured number
+# carries its own provenance (top2_scales + the checkpoint's own test OA
+# ride in the JSON).
+from dynseg.cli import build_argparser, config_from_args, run_training
+
+niter = int(os.environ.get("DYNSEG_BENCH_TRAINED_NITER", "300"))
+reps = int(os.environ.get("DYNSEG_BENCH_INFER_REPS", "5"))
+size = int(os.environ.get("DYNSEG_BENCH_INFER_SIZE", "2048"))
+n_tiles = int(os.environ.get("DYNSEG_BENCH_INFER_TILES", "2"))
+
+with tempfile.TemporaryDirectory() as tmp:
+    cli = build_argparser().parse_args([
+        "--operation", "training", "--dataset", "synthetic_texture",
+        "--output_path", tmp, "--net_type", "dilated_icpr_rate6",
+        "--distribution_type", "multinomial", "--values", "25,35,45,55,65",
+        "--update_type", "acc", "--niter", str(niter), "--batch_size", "32",
+        "--eval_every", "0", "--checkpoint_every", "0",
+        "--window_batch", "256", "--no_prediction_maps", "--seed", "0",
+    ])
+    cfg = config_from_args(cli)
+    logs = []
+    scores = run_training(cfg, log=lambda *m: logs.append(" ".join(map(str, m))))
+
+    # Restore through the SERVING path: trainer-free template from the
+    # stats sidecar, scheduler state from the checkpoint (cli.run_testing
+    # semantics), inference scales from the trained score table.
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+
+    ckpt = CheckpointManager(tmp)
+    stats = ckpt.load_stats()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model,
+        num_classes=int(stats["num_classes"]),
+        num_input_bands=int(stats["num_input_bands"]),
+        compute_dtype="bfloat16"))
+    sch = ScaleScheduler(cfg.sched, seed=cfg.train.seed)
+    state, step = ckpt.restore_state(init_state_template(cfg), sch)
+    top2 = sch.best_scales(2)
+    variables = {{"params": state.params, "batch_stats": state.batch_stats}}
+
+# Steady-state measurement tiles — identical methodology to the
+# random-init inference legs (2 x size^2, device-side outputs, median
+# of reps, raw times recorded).
+from dynseg.data.tiles import TileSet
+from dynseg.infer import Inferencer
+
+rng = np.random.default_rng(0)
+bands = int(cfg.model.num_input_bands)
+imgs = rng.integers(0, 256, (n_tiles, size, size, bands)).astype(np.float32)
+tiles = TileSet(images=imgs,
+                masks=np.zeros((n_tiles, size, size), np.int32),
+                valid_hw=np.tile([[size, size]], (n_tiles, 1)).astype(np.int32),
+                mean=np.zeros(bands, np.float32), std=np.ones(bands, np.float32))
+inf = Inferencer(cfg, tiles)
+mpx = n_tiles * size * size / 1e6
+
+def one_pass():
+    preds = [inf.predict_tile_device(variables, t, scales=top2)
+             for t in range(n_tiles)]
+    for p in preds:
+        jax.block_until_ready(p)
+
+one_pass()  # warm: trace + compile
+times = []
+for _ in range(reps):
+    t0 = time.perf_counter()
+    one_pass()
+    times.append(time.perf_counter() - t0)
+
+print("RESULT", json.dumps({{
+    "window_top2_trained_bf16": round(mpx / statistics.median(times), 3),
+    "top2_scales": [int(s) for s in top2],
+    "trained_oa": round(float(scores["oa"]), 4),
+    "trained_mean_f1": round(float(scores["mean_f1"]), 4),
+    "trained_niter": niter,
+    "ckpt_step": int(step),
+    "raw_pass_s": [round(t, 3) for t in times],
+}}))
+"""
+
+
+def run_trained_bench(env_extra=None):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", TRAINED_SNIPPET.format(repo=REPO)],
+            capture_output=True, text=True, env=env, timeout=2400,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        print(f"trained-ckpt bench produced no RESULT:\n{out.stderr[-2000:]}",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — best-effort leg, but say why
+        print(f"trained-ckpt bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    return None
 
 
 def main():
@@ -305,12 +454,21 @@ def main():
     # when the accelerator leg already failed (it would hang its own
     # 1500 s against the same dead backend).
     infer = None if accel_down else run_infer_bench()
+    trained = None if accel_down else run_trained_bench()
     line = {
         "metric": "train_patches_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "patches/s",
         "vs_baseline": round(vs, 2),
     }
+    # Tunnel-weather stamp (verdict r3 #3b): measured per-launch
+    # dispatch round-trip at capture time. The strict spc=1 cadence is
+    # launch-bound (~27 ms dispatch vs ~5 ms device step), so its number
+    # tracks this stamp, not framework speed — same-day captures have
+    # swung 2x (BENCH_r03 11,156 vs mfu_probe 5,825 p/s). The fused
+    # spc=16 'value' amortizes dispatch 16x and is weather-insensitive.
+    if "dispatch_ms" in result:
+        line["train_dispatch_ms"] = result["dispatch_ms"]
     # Provenance rides in the JSON so a consumer can distinguish the real
     # TF-CPU denominator (and a real TPU numerator) from degraded modes.
     if baseline.get("platform") != "tf-cpu":
@@ -321,6 +479,14 @@ def main():
         line["error"] = result["error"]
     if strict:
         line["train_strict_spc1"] = round(strict["patches_per_sec"], 2)
+        if "dispatch_ms" in strict:
+            line["train_strict_dispatch_ms"] = strict["dispatch_ms"]
+    if trained:
+        # Self-contained provenance for the shipped serving recipe
+        # (verdict r3 #4): scales are the TRAINED scheduler's
+        # best_scales(2); trained_oa is that checkpoint's own full-tile
+        # texture-benchmark score.
+        line["trained_ckpt_leg"] = trained
     if infer:
         # measurement metadata (reps / raw per-pass wall times / pass px)
         # rides separately so inference_mpx_per_s stays {mode: rate}.

@@ -633,7 +633,17 @@ def main(argv=None) -> int:
                          "then pays the 20-45s remote compile)")
     ap.add_argument("--warmup_size", type=int, default=0,
                     help="warmup raster size (0 = --dense_block)")
+    ap.add_argument("--platform", default="",
+                    help="'cpu' forces XLA-CPU — the axon sitecustomize "
+                         "force-sets jax_platforms, so the JAX_PLATFORMS "
+                         "env var is IGNORED on this image; smoke tests "
+                         "and CPU serving need the explicit flag (same "
+                         "pattern as every scripts/ driver)")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     # Persistent XLA compilation cache: a restarted server reloads its
     # programs from disk instead of paying remote compiles again.
     from dynseg.cli import enable_compilation_cache
