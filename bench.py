@@ -271,17 +271,22 @@ niter = int(os.environ.get("DYNSEG_BENCH_TRAINED_NITER", "300"))
 reps = int(os.environ.get("DYNSEG_BENCH_INFER_REPS", "5"))
 size = int(os.environ.get("DYNSEG_BENCH_INFER_SIZE", "2048"))
 n_tiles = int(os.environ.get("DYNSEG_BENCH_INFER_TILES", "2"))
+values = os.environ.get("DYNSEG_BENCH_TRAINED_VALUES", "25,35,45,55,65")
+wm = float(os.environ.get("DYNSEG_BENCH_WIDTH", "1.0"))
 
 with tempfile.TemporaryDirectory() as tmp:
     cli = build_argparser().parse_args([
         "--operation", "training", "--dataset", "synthetic_texture",
         "--output_path", tmp, "--net_type", "dilated_icpr_rate6",
-        "--distribution_type", "multinomial", "--values", "25,35,45,55,65",
+        "--distribution_type", "multinomial", "--values", values,
         "--update_type", "acc", "--niter", str(niter), "--batch_size", "32",
         "--eval_every", "0", "--checkpoint_every", "0",
         "--window_batch", "256", "--no_prediction_maps", "--seed", "0",
     ])
     cfg = config_from_args(cli)
+    if wm != 1.0:  # narrow model for CPU smoke runs
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, width_multiplier=wm))
     logs = []
     scores = run_training(cfg, log=lambda *m: logs.append(" ".join(map(str, m))))
 
