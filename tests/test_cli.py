@@ -253,3 +253,19 @@ def test_config_rejects_duplicate_values_and_bad_dense_params():
         Config(infer=InferConfig(dense_halo=-1)).validate()
     with pytest.raises(ValueError, match="dense_block"):
         Config(infer=InferConfig(dense_block=0)).validate()
+
+
+def test_keep_best_default_on_and_no_keep_best():
+    """r4 (collapse diagnosis, VERDICT r3 #2): --keep_best is DEFAULT ON
+    — the final iterate is a lottery on a late-training oscillation and
+    the best-validation checkpoint recovers every measured collapse.
+    --no_keep_best must disable it; an explicit --keep_best still works."""
+    from dynseg.cli import build_argparser
+
+    base = ["--operation", "training", "--dataset", "synthetic",
+            "--output_path", "/tmp/x"]
+    assert build_argparser().parse_args(base).keep_best is True
+    assert build_argparser().parse_args(
+        base + ["--no_keep_best"]).keep_best is False
+    assert build_argparser().parse_args(
+        base + ["--keep_best"]).keep_best is True
