@@ -81,12 +81,19 @@ def test_bench_main_reports_strict_and_meta(capsys):
     def fake_run_bench(env_extra, batch, steps, steps_per_call=1):
         calls.append(steps_per_call)
         return {"patches_per_sec": 100.0 * steps_per_call,
-                "platform": "tpu"}
+                "platform": "tpu", "dispatch_ms": 27.5}
 
     bench.run_bench = fake_run_bench
     bench.run_infer_bench = lambda *a, **k: {
         "window": 1.0, "window_top2": 2.5, "dense512": 12.0,
-        "raw_pass_s": {"window": [1.0]}, "pass_mpx": 8.4, "reps": 3}
+        "raw_pass_s": {"window": [1.0]}, "pass_mpx": 8.4, "reps": 5,
+        "dispatch_ms": 26.0}
+    # MUST be mocked: the real trained leg launches a full training
+    # subprocess on the default (chip) platform — a unit test may not
+    # (r4 review: the unmocked leg silently trained 300 iters on chip).
+    bench.run_trained_bench = lambda *a, **k: {
+        "window_top2_trained_bf16": 4.0, "top2_scales": [65, 55],
+        "trained_oa": 0.91, "raw_pass_s": [2.0]}
     bench.main()
     import json as _json
     line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -94,8 +101,14 @@ def test_bench_main_reports_strict_and_meta(capsys):
     assert line["train_strict_spc1"] == 100.0
     assert calls == [16, 1]
     assert line["inference_mpx_per_s"]["window_top2"] == 2.5
-    assert line["inference_meta"]["reps"] == 3
+    assert line["inference_meta"]["reps"] == 5
     assert "raw_pass_s" in line["inference_meta"]
+    # r4 (verdict r3 #3b/#4): tunnel-weather stamps + the trained-ckpt
+    # leg's self-contained provenance must survive into the JSON line
+    assert line["train_dispatch_ms"] == 27.5
+    assert line["train_strict_dispatch_ms"] == 27.5
+    assert line["inference_meta"]["dispatch_ms"] == 26.0
+    assert line["trained_ckpt_leg"]["top2_scales"] == [65, 55]
 
 
 def test_bench_main_total_failure_still_emits_json(capsys):
