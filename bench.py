@@ -495,7 +495,8 @@ def main():
     if infer:
         # measurement metadata (reps / raw per-pass wall times / pass px)
         # rides separately so inference_mpx_per_s stays {mode: rate}.
-        meta = {k: infer.pop(k) for k in ("raw_pass_s", "pass_mpx", "reps")
+        meta = {k: infer.pop(k)
+                for k in ("raw_pass_s", "pass_mpx", "reps", "dispatch_ms")
                 if k in infer}
         line["inference_mpx_per_s"] = infer  # {"window": ..., "dense512": ...}
         if meta:
