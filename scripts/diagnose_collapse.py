@@ -45,6 +45,8 @@ VAL_RE = re.compile(
     r"kappa=([-\d.]+) meanF1=([\d.]+)")
 ITER_RE = re.compile(
     r"iter (\d+)/\d+ scale=(\d+) loss=([\d.]+) acc=([\d.]+)")
+# the trailing scheduler summary on each iter line: "25:p=0.19,s=0.915 ..."
+SCORE_RE = re.compile(r"(\d+):p=([\d.]+),s=([-\d.]+|-)")
 BEST_RE = re.compile(r"restored best checkpoint at iteration (\d+)")
 
 
@@ -104,11 +106,16 @@ def run_cell(args, distribution, seed):
          "kappa": float(m[3]), "mean_f1": float(m[4])}
         for ln in logs for m in VAL_RE.findall(ln)
     ]
-    train_traj = [
-        {"iter": int(m[0]), "scale": int(m[1]), "loss": float(m[2]),
-         "acc": float(m[3])}
-        for ln in logs for m in ITER_RE.findall(ln)
-    ]
+    train_traj = []
+    for ln in logs:
+        for m in ITER_RE.findall(ln):
+            row = {"iter": int(m[0]), "scale": int(m[1]),
+                   "loss": float(m[2]), "acc": float(m[3])}
+            scores = {int(v): (None if s == "-" else float(s))
+                      for v, _p, s in SCORE_RE.findall(ln)}
+            if scores:  # per-scale score table at this iteration
+                row["scores"] = scores
+            train_traj.append(row)
 
     # Second full-tile eval of the SAME run at the best-validation
     # checkpoint (run_training's final validate_test used the LAST one).
