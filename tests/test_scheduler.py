@@ -24,6 +24,20 @@ def test_uniform_hits_all_values():
     assert seen == {25, 35, 45}
 
 
+def test_uniform_support_is_the_values_list_not_the_range():
+    """Pins the semantic the verify-on-mount fact `uniform-support`
+    (scripts/verify_reference.py; VERDICT r3 #7) documents: our
+    `uniform` samples uniformly over the --values LIST. The SURVEY C12
+    wording 'uniform over range' admits a second reading (uniform over
+    the 25..65 INTEGER range) which would feed never-bucketed patch
+    sizes — if the reference source turns out to mean that, this test
+    marks the exact behavior to change."""
+    s = ScaleScheduler(SchedulerConfig(distribution_type="uniform",
+                                       values=(25, 65)), seed=3)
+    draws = {s.select() for _ in range(500)}
+    assert draws == {25, 65}  # never 26..64 — list support, not range
+
+
 def test_multinomial_favors_high_accuracy_scale():
     cfg = SchedulerConfig(
         distribution_type="multinomial", values=(25, 35, 45),
