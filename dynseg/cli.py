@@ -173,6 +173,26 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_best", action="store_true",
                    help="at validate_test/predict/export, restore the "
                         "best-validation checkpoint instead of the latest")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="per-step exponential moving average of the "
+                        "params (0 = off; typical 0.999). Second shipped "
+                        "mitigation for the clean-horizon final-iterate "
+                        "lottery (BENCHMARKS.md r4): the EMA iterate "
+                        "averages across the late-training oscillation "
+                        "without validation-based selection. With EMA on, "
+                        "periodic validation and --keep_best score the "
+                        "EMA weights (they are what gets served). At "
+                        "test/predict/export time the CHECKPOINT's "
+                        "recorded value is authoritative (the restore "
+                        "template must match its optimizer-state layout)")
+    p.add_argument("--use_ema", dest="use_ema", action="store_true",
+                   default=None,
+                   help="evaluate/export the EMA weights instead of the "
+                        "raw final iterate. Default: auto — EMA weights "
+                        "are used whenever the checkpoint has them")
+    p.add_argument("--no_use_ema", dest="use_ema", action="store_false",
+                   help="force the raw final iterate even when the "
+                        "checkpoint carries EMA weights")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_balanced_sampling", action="store_true")
     p.add_argument("--max_positions_per_class", type=int, default=0,
@@ -303,6 +323,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             num_devices=args.num_devices,
             output_path=args.output_path,
             resume=args.resume,
+            ema_decay=args.ema_decay,
         ),
         infer=InferConfig(
             stride_fraction=args.stride_fraction,
@@ -408,7 +429,36 @@ def _adopt_checkpoint_model(cfg: Config, stats: dict,
         kw["pool_window"] = int(stats["pool_window"])
     if "use_batch_norm" in stats:
         kw["use_batch_norm"] = bool(stats["use_batch_norm"])
-    return dc.replace(cfg, model=dc.replace(cfg.model, **kw))
+    cfg = dc.replace(cfg, model=dc.replace(cfg.model, **kw))
+    if "ema_decay" in stats:
+        # TrainConfig knob, but structurally load-bearing at restore:
+        # ema_decay > 0 appends track_ema to the optax chain, so the
+        # trainer-free template's opt_state layout only matches the
+        # checkpoint when this mirrors what TRAINING used — the CLI
+        # value (default 0) is irrelevant here.
+        cfg = dc.replace(cfg, train=dc.replace(
+            cfg.train, ema_decay=float(stats["ema_decay"])))
+    return cfg
+
+
+def _serving_params(cfg: Config, state, use_ema: Optional[bool], log=print):
+    """Resolve which weights an eval/predict/export entry point serves:
+    use_ema None = auto (EMA whenever the checkpoint carries one),
+    True = require EMA, False = raw final iterate."""
+    from dynseg.train import ema_params
+
+    ema = ema_params(cfg, state)
+    if use_ema is None:
+        if ema is not None:
+            log("using EMA weights (checkpoint trained with --ema_decay "
+                f"{cfg.train.ema_decay}; pass --no_use_ema for the raw "
+                f"final iterate)")
+        return state.params if ema is None else ema
+    if use_ema and ema is None:
+        raise ValueError(
+            "--use_ema: this checkpoint has no EMA weights (it was "
+            "trained without --ema_decay)")
+    return ema if use_ema else state.params
 
 
 def _fix_num_input_bands(cfg: Config, train_tiles) -> Config:
@@ -474,6 +524,10 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         "leaky_slope": cfg.model.leaky_slope,
         "pool_window": cfg.model.pool_window,
         "dropout_rate": cfg.model.dropout_rate,
+        # Structurally load-bearing at restore (track_ema changes the
+        # opt_state layout) — _adopt_checkpoint_model mirrors it into
+        # the trainer-free template config.
+        "ema_decay": cfg.train.ema_decay,
         # Data-protocol provenance (reproducibility — which split/bands
         # produced this checkpoint; informational, not restored).
         "val_tiles": cfg.data.val_tiles,
@@ -499,6 +553,19 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
                     f"--net_type or train fresh in a new --output_path"
                 )
             _warn_protocol_mismatch(cfg, prev_stats, log)
+            prev_ema = float(prev_stats.get("ema_decay", 0.0))
+            if (prev_ema > 0.0) != (cfg.train.ema_decay > 0.0):
+                # Same class as changed --values: toggling EMA changes
+                # the opt_state tree layout, so the restore template
+                # cannot match the checkpoint. Changing the decay VALUE
+                # is structurally fine (applies from the resume point).
+                raise ValueError(
+                    f"--resume: checkpoint was trained with ema_decay="
+                    f"{prev_ema} but the CLI requests "
+                    f"{cfg.train.ema_decay}; EMA cannot be toggled "
+                    f"on/off mid-run — resume with the original "
+                    f"--ema_decay or train fresh in a new --output_path"
+                )
         state, start_iter = ckpt.restore(trainer, scheduler)
         if set(scheduler.values) != set(int(v) for v in cfg.sched.values):
             # The samplers/buckets are built from --values; a checkpoint
@@ -579,7 +646,10 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     ckpt.save(cfg.train.niter, state, scheduler)
     log(f"training done; final scale distribution: {scheduler.summary()}")
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # End-of-training eval reports the weights that would be served:
+    # the EMA iterate when --ema_decay is on (auto, like run_testing).
+    variables = {"params": _serving_params(cfg, state, None, log),
+                 "batch_stats": state.batch_stats}
     mesh = trainer.mesh if cfg.train.num_devices > 1 else None
     scores = validate_test(cfg, variables, test_tiles, log=log, mesh=mesh)
     _save_maps(cfg, scores, test_tiles)
@@ -640,7 +710,8 @@ def _warn_protocol_mismatch(cfg: Config, stats: dict, log) -> None:
 
 
 def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
-                use_best: bool = False) -> dict:
+                use_best: bool = False,
+                use_ema: "Optional[bool]" = None) -> dict:
     from dynseg.checkpoint import CheckpointManager
     from dynseg.infer import validate_test
     from dynseg.sched.scheduler import ScaleScheduler
@@ -691,7 +762,8 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         # spatial contexts — fuse only the top-K at test time (C12/C15).
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": _serving_params(cfg, state, use_ema, log),
+                 "batch_stats": state.batch_stats}
     mesh = None
     if cfg.train.num_devices > 1:
         avail = jax.devices()
@@ -714,7 +786,8 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
 def run_predict(cfg: Config, predict_path: str, log=print,
                 scales_from_scheduler: int = 0,
                 use_best: bool = False,
-                predict_chunk: int = 0) -> List[str]:
+                predict_chunk: int = 0,
+                use_ema: "Optional[bool]" = None) -> List[str]:
     """Production inference on UNLABELED rasters: restore the checkpoint
     (model + training normalization stats from the stats sidecar — no
     training dataset needed on disk) and write colorized prediction maps
@@ -759,7 +832,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     if scales_from_scheduler > 0:
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": _serving_params(cfg, state, use_ema, log),
+                 "batch_stats": state.batch_stats}
 
     # Colorize with the TRAINING dataset's palette (recorded in the
     # sidecar) — the CLI --dataset default would silently collapse
@@ -815,7 +889,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
 
 
 def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
-               use_best: bool = False) -> str:
+               use_best: bool = False,
+               use_ema: "Optional[bool]" = None) -> str:
     """Export the checkpoint as a standalone serving artifact (StableHLO,
     shape-polymorphic, params + normalization baked — dynseg/export.py).
     Trainer-free: only the checkpoint dir is needed, like run_predict."""
@@ -846,7 +921,8 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
     cfg = dataclasses.replace(
         cfg, sched=dataclasses.replace(
             cfg.sched, values=tuple(int(v) for v in scheduler.values)))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": _serving_params(cfg, state, use_ema, log),
+                 "batch_stats": state.batch_stats}
     quant_variables = None
     if cfg.infer.quant != "none":
         # Quantization needs calibration imagery: reuse the exact
@@ -944,6 +1020,7 @@ def run_info(cfg: Config, log=print, use_best: bool = False) -> dict:
                                for x in np.ravel(stats["mean"])],
         "normalization_std": [round(float(x), 4)
                               for x in np.ravel(stats["std"])],
+        "ema_decay": float(stats.get("ema_decay", 0.0)),
         "scheduler": scheduler.summary(),
         "protocol": {k: stats.get(k, "") for k in
                      ("val_tiles", "bands", "extra_bands")
@@ -1038,13 +1115,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             run_predict(cfg, args.predict_path, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler,
                         use_best=args.use_best,
-                        predict_chunk=args.predict_chunk)
+                        predict_chunk=args.predict_chunk,
+                        use_ema=args.use_ema)
         elif args.operation == "export":
             platforms = tuple(
                 s for s in args.export_platforms.replace(" ", "").split(",") if s
             )
             run_export(cfg, platforms=platforms, log=logger,
-                       use_best=args.use_best)
+                       use_best=args.use_best, use_ema=args.use_ema)
         elif args.operation == "info":
             run_info(cfg, log=logger, use_best=args.use_best)
         elif args.operation == "serve":
@@ -1074,7 +1152,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:  # testing / validate_test
             run_testing(cfg, log=logger,
                         scales_from_scheduler=args.scales_from_scheduler,
-                        use_best=args.use_best)
+                        use_best=args.use_best, use_ema=args.use_ema)
     logger.log(f"total time: {time.time() - t0:.1f}s")
     logger.close()
     return 0

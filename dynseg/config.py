@@ -115,6 +115,16 @@ class TrainConfig:
     # feedback; 4 hides the round-trip entirely (2.4x faster loop at
     # steps_per_call=1) at the cost of scores lagging 4 batches.
     metric_fetch_depth: int = 1
+    # Per-step exponential moving average of the params (0 = off).
+    # Second shipped mitigation (besides keep_best) for the clean-horizon
+    # "final-iterate lottery" (BENCHMARKS.md r4 collapse diagnosis): late
+    # training at constant LR oscillates, so the last iterate is a
+    # lottery draw; the EMA iterate averages across the oscillation
+    # without needing validation-based selection. Tracked INSIDE the
+    # optimizer state (train.track_ema appended to the optax chain), so
+    # TrainState/checkpoint layouts are unchanged when off and old
+    # checkpoints restore as before. Typical value 0.999.
+    ema_decay: float = 0.0
     seed: int = 0
     # Data-parallel device count; 1 = single chip. The mesh axis is "data".
     num_devices: int = 1
@@ -261,6 +271,9 @@ class Config:
               f"num_devices must be >=1, got {self.train.num_devices}")
         check(self.train.steps_per_call >= 1,
               f"steps_per_call must be >=1, got {self.train.steps_per_call}")
+        check(0.0 <= self.train.ema_decay < 1.0,
+              f"ema_decay must be in [0, 1), got {self.train.ema_decay} "
+              f"(0 disables; 1.0 would freeze the EMA at initialization)")
         check(0 < self.infer.stride_fraction,
               f"stride_fraction must be >0, got {self.infer.stride_fraction}")
         check(self.infer.window_batch >= 1,

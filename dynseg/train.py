@@ -67,9 +67,61 @@ def init_state_template(cfg: Config, rng: Optional[jax.Array] = None) -> TrainSt
     )
 
 
+class EmaParamsState(struct.PyTreeNode):
+    """State for track_ema: the EMA iterate of the PARAMS (not of the
+    updates, which is what optax.ema smooths)."""
+
+    ema: Any
+
+
+def track_ema(decay: float) -> optax.GradientTransformation:
+    """Maintain a per-step exponential moving average of the params
+    INSIDE the optimizer state.
+
+    Appended LAST to the optax chain, its `update` sees the final deltas
+    and the pre-update params, so `params + updates` is exactly the new
+    iterate that optax.apply_updates produces — one fused multiply-add
+    per parameter per step, on device, inside the existing train_step
+    program. Living in opt_state (rather than a new TrainState field)
+    keeps the checkpoint tree layout byte-compatible with pre-EMA
+    checkpoints whenever EMA is off: orbax refuses to restore a tree
+    whose structure changed, even by a None leaf (measured — see
+    tests/test_train.py EMA cases).
+
+    Warm-started at params_0, so no bias correction is needed (the
+    standard vision-EMA convention)."""
+
+    def init(params):
+        # DISTINCT buffers, not aliases of params: the train step donates
+        # the whole TrainState, and donating the same buffer twice
+        # (params + an aliased ema) is an XLA execute error.
+        return EmaParamsState(ema=jax.tree.map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("track_ema requires params")
+        new_ema = jax.tree.map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates,
+        )
+        return updates, EmaParamsState(ema=new_ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(cfg: Config, state: TrainState):
+    """The EMA weights tracked by track_ema, or None when EMA is off.
+    The chain is (add_decayed_weights, sgd, track_ema) — see
+    make_optimizer — so the EMA state is the last chain element."""
+    if cfg.train.ema_decay <= 0.0:
+        return None
+    return state.opt_state[-1].ema
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Momentum SGD + L2 on conv kernels (SURVEY.md C11; lr/momentum/wd
-    from the reference CLI flags)."""
+    from the reference CLI flags). With ema_decay > 0 a params-EMA
+    tracker rides at the end of the chain (track_ema)."""
     t = cfg.train
     if t.lr_decay_rate < 1.0:
         lr = optax.exponential_decay(
@@ -88,10 +140,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
             params,
         )
 
-    return optax.chain(
+    parts = [
         optax.add_decayed_weights(t.weight_decay, mask=decay_mask),
         optax.sgd(lr, momentum=t.momentum),
-    )
+    ]
+    if t.ema_decay > 0.0:
+        parts.append(track_ema(t.ema_decay))
+    return optax.chain(*parts)
 
 
 def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -364,7 +419,13 @@ class Trainer:
         imgs, labs = gather_batch(
             images, masks, mean, std, positions, aug_ids, size
         )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # With EMA on, validate the EMA weights — they are what gets
+        # served (--use_ema auto-resolves to them), so keep_best must
+        # select on their metric, not the raw iterate's (static branch:
+        # ema_decay is config, not data).
+        p = ema_params(self.cfg, state)
+        variables = {"params": state.params if p is None else p,
+                     "batch_stats": state.batch_stats}
         logits = self.model.apply(variables, imgs, train=False)
         preds = jnp.argmax(logits, axis=-1)
         return {

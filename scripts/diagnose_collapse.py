@@ -18,6 +18,10 @@ asserted, never diagnosed. This driver produces the missing evidence:
 3. Accepts hypothesis knobs (--learning_rate, --lr_decay_rate/steps,
    --no_batch_norm, --batch_size) so the collapsed cells can be
    re-run under one concrete mechanism hypothesis per invocation.
+4. --ema_decay > 0 (r4) trains with the params-EMA tracker and reports
+   THREE evals of the same run: raw final iterate, EMA iterate, and
+   best-validation checkpoint — the selection-free mitigation measured
+   head-to-head against keep_best on the exact collapse cells.
 
 Reference context: the scheduler under test is SURVEY.md C12 ([R]
 dynamic.py:≈train loop); the reference never ran clean-label ablations
@@ -76,6 +80,8 @@ def build_cli(args, distribution, seed, outdir, operation):
     ]
     if args.no_batch_norm:
         argv += ["--use_batch_norm", "false"]
+    if args.ema_decay > 0:
+        argv += ["--ema_decay", str(args.ema_decay)]
     if operation == "training":
         argv += ["--keep_best"]
     return build_argparser().parse_args(argv)
@@ -128,6 +134,14 @@ def run_cell(args, distribution, seed):
         (int(m.group(1)) for ln in best_logs for m in [BEST_RE.search(ln)]
          if m), None)
 
+    ema = None
+    if args.ema_decay > 0:
+        # With EMA on, run_training's final eval (and the best eval
+        # above) already score the EMA weights — the raw final iterate
+        # needs its own explicit pass for the three-way comparison.
+        ema = final
+        final = run_testing(cfg_t, log=lambda *m: None, use_ema=False)
+
     if not args.keep_checkpoints:
         shutil.rmtree(outdir, ignore_errors=True)
     return {
@@ -138,6 +152,8 @@ def run_cell(args, distribution, seed):
         "best_oa": float(best["oa"]),
         "best_mean_f1": float(best["mean_f1"]),
         "best_iter": best_iter,
+        **({"ema_oa": float(ema["oa"]),
+            "ema_mean_f1": float(ema["mean_f1"])} if ema else {}),
         "wall_s": round(wall, 1),
         "val_trajectory": val_traj,
         "train_trajectory": train_traj,
@@ -161,6 +177,9 @@ def main() -> int:
     ap.add_argument("--lr_decay_rate", type=float, default=1.0)
     ap.add_argument("--lr_decay_steps", type=int, default=50000)
     ap.add_argument("--no_batch_norm", action="store_true")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help=">0 trains with the params-EMA tracker and adds "
+                         "a third eval (EMA iterate) per cell")
     ap.add_argument("--update_type", default="acc")
     ap.add_argument("--net_type", default="dilated_icpr_rate6")
     ap.add_argument("--eval_every", type=int, default=100)
@@ -201,6 +220,7 @@ def main() -> int:
         "lr_decay_rate": args.lr_decay_rate,
         "lr_decay_steps": args.lr_decay_steps,
         "no_batch_norm": args.no_batch_norm,
+        "ema_decay": args.ema_decay,
         "eval_every": args.eval_every,
         "results": results,
     }
@@ -215,9 +235,10 @@ def main() -> int:
         for dist, seed in cells:
             print(f"[{dist} seed={seed}] ...", flush=True)
             r = run_cell(args, dist, seed)
-            print(f"[{dist} seed={seed}] final OA={r['final_oa']:.4f} "
-                  f"best OA={r['best_oa']:.4f} (best_iter={r['best_iter']}, "
-                  f"{r['wall_s']}s)", flush=True)
+            extra = (f" ema OA={r['ema_oa']:.4f}" if "ema_oa" in r else "")
+            print(f"[{dist} seed={seed}] final OA={r['final_oa']:.4f}"
+                  f"{extra} best OA={r['best_oa']:.4f} "
+                  f"(best_iter={r['best_iter']}, {r['wall_s']}s)", flush=True)
             results.append(r)
             write(partial=True)
     except BaseException:

@@ -269,3 +269,23 @@ def test_keep_best_default_on_and_no_keep_best():
         base + ["--no_keep_best"]).keep_best is False
     assert build_argparser().parse_args(
         base + ["--keep_best"]).keep_best is True
+
+
+def test_ema_flags_resolution():
+    """--ema_decay threads into TrainConfig; --use_ema tri-state:
+    None (auto) / True / False; bad decay values are refused."""
+    base = ["--operation", "training", "--dataset", "synthetic"]
+    args = build_argparser().parse_args(base)
+    assert args.use_ema is None and args.ema_decay == 0.0
+    assert config_from_args(args).train.ema_decay == 0.0
+
+    args = build_argparser().parse_args(base + ["--ema_decay", "0.999"])
+    assert config_from_args(args).train.ema_decay == 0.999
+    assert build_argparser().parse_args(
+        base + ["--use_ema"]).use_ema is True
+    assert build_argparser().parse_args(
+        base + ["--no_use_ema"]).use_ema is False
+
+    bad = build_argparser().parse_args(base + ["--ema_decay", "1.0"])
+    with pytest.raises(ValueError, match="ema_decay"):
+        config_from_args(bad).validate()

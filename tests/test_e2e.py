@@ -806,3 +806,54 @@ def test_scales_from_scheduler_topk_fusion(tmp_path):
     assert inference == {"mode": "window", "scales": picked,
                          "tta": False, "quant": "none",
                          "quant_exit": False}, rec["inference"]
+
+
+def test_ema_flow_auto_raw_and_guards(tmp_path):
+    """--ema_decay end to end: training records it in the sidecar;
+    validate_test auto-resolves to the EMA weights (and says so),
+    --no_use_ema scores the raw iterate, --use_ema on a non-EMA
+    checkpoint is a clean error, and a resume toggling EMA is refused."""
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "12",
+        "--ema_decay", "0.9",
+        "--no_prediction_maps",
+    ])
+    cfg = _shrink(config_from_args(args), niter=12)
+    s_train = run_training(cfg, log=lambda *_: None)
+
+    lines = []
+    s_auto = run_testing(cfg, log=lambda *m: lines.append(str(m[0])))
+    assert any("using EMA weights" in ln for ln in lines), lines
+    # end-of-training eval used the same auto resolution -> identical
+    np.testing.assert_array_equal(s_train["confusion"], s_auto["confusion"])
+    s_raw = run_testing(cfg, log=lambda *_: None, use_ema=False)
+    # after 12 steps of decay-0.9 the EMA genuinely lags the raw iterate
+    assert not np.array_equal(s_auto["confusion"], s_raw["confusion"])
+
+    # resume toggling EMA off: refused before touching the checkpoint
+    cfg_resume = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=True,
+                                       ema_decay=0.0, niter=16))
+    with pytest.raises(ValueError, match="ema_decay"):
+        run_training(cfg_resume, log=lambda *_: None)
+    # ...but changing only the decay VALUE resumes fine
+    cfg_resume2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=True,
+                                       ema_decay=0.99, niter=16))
+    run_training(cfg_resume2, log=lambda *_: None)
+
+    # a checkpoint trained WITHOUT ema: --use_ema is a clean error
+    out2 = tmp_path / "noema"
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.0,
+                                       output_path=str(out2)))
+    run_training(cfg2, log=lambda *_: None)
+    with pytest.raises(ValueError, match="no EMA weights"):
+        run_testing(cfg2, log=lambda *_: None, use_ema=True)

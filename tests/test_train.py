@@ -442,3 +442,159 @@ def test_num_devices_mismatch_raises_value_error(tiles):
         cfg, train=dataclasses.replace(cfg.train, num_devices=99))
     with pytest.raises(ValueError, match="99"):
         Trainer(cfg, tiles[0])
+
+
+# --------------------------------------------------------------------- #
+# Params-EMA (--ema_decay): the r4 "final-iterate lottery" mitigation.
+# Tracked inside opt_state (train.track_ema) so the checkpoint layout is
+# unchanged when off — orbax refuses to restore a tree whose structure
+# changed even by a None leaf, so a new TrainState field would have
+# broken every pre-EMA checkpoint.
+# --------------------------------------------------------------------- #
+def test_ema_recurrence_matches_numpy(tiles):
+    """ema_t = d*ema_{t-1} + (1-d)*params_t, warm-started at params_0 —
+    checked leaf-exactly against a host-side recurrence over the actual
+    per-step params."""
+    from dynseg.train import ema_params
+
+    d = 0.5
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=4, seed=0, ema_decay=d,
+    ))
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+
+    def leaf(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0], np.float64)
+
+    expect = leaf(state.params)  # warm start: ema_0 = params_0
+    np.testing.assert_array_equal(leaf(ema_params(cfg, state)),
+                                  expect.astype(np.float32))
+    rng = jax.random.key(1)
+    for _ in range(4):
+        rng, dr = jax.random.split(rng)
+        state, _ = trainer.train_step(state, 9, dr)
+        expect = d * expect + (1 - d) * leaf(state.params)
+        np.testing.assert_allclose(
+            leaf(ema_params(cfg, state)), expect, rtol=1e-5, atol=1e-7)
+
+
+def test_ema_chunked_steps_match_recurrence(tiles):
+    """steps_per_call=K applies the EMA update per OPTIMIZER STEP inside
+    the scanned chunk, not once per launch."""
+    from dynseg.train import ema_params
+
+    d = 0.9
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=4, seed=0,
+        steps_per_call=4, ema_decay=d,
+    ))
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state, _ = trainer.train_step(state, 9, jax.random.key(1))
+    assert int(state.step) == 4
+    ema = np.asarray(jax.tree_util.tree_leaves(ema_params(cfg, state))[0])
+    pK = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    # 4 distinct EMA applications: the result lies strictly between the
+    # warm start and the final params, and is NOT a single-step blend of
+    # them (which is what a once-per-launch update would produce).
+    one_step = d * p0 + (1 - d) * pK
+    assert not np.allclose(ema, one_step, rtol=1e-6)
+    assert not np.allclose(ema, pK, rtol=1e-6)
+    assert not np.allclose(ema, p0, rtol=1e-6)
+
+
+def test_ema_checkpoint_roundtrip_and_layout_guard(tiles, tmp_path):
+    """EMA weights ride in opt_state through save/restore bit-exactly;
+    an ema-on template cannot restore an ema-off checkpoint (the CLI
+    resume guard exists because orbax refuses the layout change)."""
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.train import ema_params
+
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=4, seed=0, ema_decay=0.9,
+    ))
+    trainer = Trainer(cfg, tiles[0])
+    sched = ScaleScheduler(cfg.sched, seed=0)
+    state = trainer.init_state(jax.random.key(0))
+    state, _ = trainer.train_step(state, 9, jax.random.key(1))
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(1, state, sched)
+    restored, step = ckpt.restore_state(trainer.init_state(jax.random.key(7)))
+    for a, b in zip(jax.tree_util.tree_leaves(ema_params(cfg, state)),
+                    jax.tree_util.tree_leaves(ema_params(cfg, restored))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ema and raw params genuinely differ after a step
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(ema_params(cfg, restored))[0]))
+
+    # ema-OFF checkpoint + ema-ON template: orbax must refuse (layout)
+    off = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=4, seed=0))
+    t_off = Trainer(off, tiles[0])
+    ckpt2 = CheckpointManager(str(tmp_path / "off"))
+    ckpt2.save(1, t_off.init_state(jax.random.key(0)), sched)
+    with pytest.raises(Exception):
+        ckpt2.restore_state(trainer.init_state(jax.random.key(0)))
+
+
+def test_ema_off_keeps_opt_state_layout(tiles):
+    """ema_decay=0 must leave the optax chain — and therefore every
+    pre-EMA checkpoint's on-disk layout — exactly as before."""
+    from dynseg.train import ema_params
+
+    cfg = tiny_config()
+    assert cfg.train.ema_decay == 0.0
+    tx_state = make_optimizer(cfg).init(
+        {"w": jnp.ones((2,))})
+    assert len(tx_state) == 2  # (add_decayed_weights, sgd) — no tracker
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    assert ema_params(cfg, state) is None
+
+
+def test_ema_eval_scores_ema_weights(tiles):
+    """With EMA on, _eval_impl (periodic validation / keep_best) scores
+    the EMA weights: evaluating a state whose ema was frozen at init
+    must reproduce the INIT params' metrics, not the trained params'."""
+    import dataclasses as dc
+
+    from dynseg.train import EmaParamsState
+
+    cfg = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=4, seed=0, ema_decay=0.9,
+    ))
+    trainer = Trainer(cfg, tiles[0])
+    state = trainer.init_state(jax.random.key(0))
+    # the train step donates its input state — keep live copies of the
+    # init params for the splice/reference evals below
+    init_params = jax.tree.map(jnp.copy, state.params)
+    rng = jax.random.key(1)
+    for _ in range(6):
+        rng, dr = jax.random.split(rng)
+        state, _ = trainer.train_step(state, 9, dr)
+    s0 = trainer.init_state(jax.random.key(0))  # same key -> same params
+
+    dev, padded = trainer.put_tiles(tiles[0])
+    from dynseg.data.sampler import BalancedPatchSampler
+    pos = BalancedPatchSampler(padded, 2, pad=trainer.pad, seed=3,
+                               balanced=False).sample(16)
+    # splice: trained params/batch_stats, but EMA forced back to the
+    # INIT params — the EMA-aware eval must score the spliced weights
+    frozen = state.replace(opt_state=tuple(state.opt_state[:-1]) + (
+        EmaParamsState(ema=init_params),))
+    m_frozen = trainer.eval_crops(frozen, dev, pos, 9)
+    # reference: an EMA-OFF trainer evaluating the same weights through
+    # state.params (identical batch_stats — BN statistics matter)
+    cfg_off = tiny_config(train=TrainConfig(
+        learning_rate=0.05, batch_size=8, niter=4, seed=0))
+    trainer_off = Trainer(cfg_off, tiles[0])
+    m_ref = trainer_off.eval_crops(
+        s0.replace(params=init_params, batch_stats=state.batch_stats),
+        dev, pos, 9)
+    np.testing.assert_allclose(float(m_frozen["loss"]),
+                               float(m_ref["loss"]), rtol=1e-5)
+    m_real = trainer.eval_crops(state, dev, pos, 9)
+    assert abs(float(m_real["loss"]) - float(m_ref["loss"])) > 1e-6
