@@ -101,6 +101,9 @@ def run_cell(args, distribution, seed):
 
     cfg = config_from_args(build_cli(args, distribution, seed, outdir,
                                      "training"))
+    if args.width_multiplier != 1.0:  # CPU pilots / smoke runs
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, width_multiplier=args.width_multiplier))
     t0 = time.time()
     final = run_training(cfg, log=log, keep_best=True)
     if final.get("preempted"):
@@ -128,6 +131,9 @@ def run_cell(args, distribution, seed):
     best_logs = []
     cfg_t = config_from_args(build_cli(args, distribution, seed, outdir,
                                        "testing"))
+    if args.width_multiplier != 1.0:
+        cfg_t = dataclasses.replace(cfg_t, model=dataclasses.replace(
+            cfg_t.model, width_multiplier=args.width_multiplier))
     best = run_testing(cfg_t, log=lambda *m: best_logs.append(
         " ".join(str(x) for x in m)), use_best=True)
     best_iter = next(
@@ -182,6 +188,9 @@ def main() -> int:
                          "a third eval (EMA iterate) per cell")
     ap.add_argument("--update_type", default="acc")
     ap.add_argument("--net_type", default="dilated_icpr_rate6")
+    ap.add_argument("--width_multiplier", type=float, default=1.0,
+                    help="narrow the model for CPU pilots/smoke runs "
+                         "(sidecar records it, so the eval passes match)")
     ap.add_argument("--eval_every", type=int, default=100)
     ap.add_argument("--window_batch", type=int, default=256)
     ap.add_argument("--workdir", default="/tmp/collapse_diag")
@@ -221,6 +230,7 @@ def main() -> int:
         "lr_decay_steps": args.lr_decay_steps,
         "no_batch_norm": args.no_batch_norm,
         "ema_decay": args.ema_decay,
+        "width_multiplier": args.width_multiplier,
         "eval_every": args.eval_every,
         "results": results,
     }
