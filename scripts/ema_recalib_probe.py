@@ -28,7 +28,6 @@ Usage:
 """
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -84,8 +83,11 @@ def main() -> int:
     stats = ckpt.load_stats()
     if stats is None or float(stats.get("ema_decay", 0.0)) <= 0.0:
         raise SystemExit(f"{args.ckpt} is not an EMA checkpoint with sidecar")
-    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, ema_decay=float(stats["ema_decay"])))
+    # Adopt the checkpoint's full model config (width/BN/slope/... AND
+    # ema_decay) — the Trainer-built restore template must match.
+    from dynseg.cli import _adopt_checkpoint_model
+
+    cfg = _adopt_checkpoint_model(cfg, stats)
 
     train_tiles, test_tiles = load_dataset(
         cfg.data.dataset, cfg.data.dataset_path, cfg.data.fold,
