@@ -35,6 +35,8 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
+import sys
 import threading
 import time
 import traceback
@@ -334,6 +336,17 @@ class ServerStats:
         self._t0 = time.monotonic()
         self._window = window
         self._by_mode: dict = {}
+        # Gauge of /predict requests currently being processed (accepted
+        # and inside do_POST, response not yet recorded). Operators watch
+        # it for drain progress; the load harness gates its SIGTERM phase
+        # on it (a fixed post-then-sleep window raced the accept loop on
+        # busy 1-vCPU hosts — requests still in the LISTEN backlog are
+        # owed nothing by the drain, so the check verified nothing).
+        self._inflight = 0
+
+    def begin(self) -> None:
+        with self._lock:
+            self._inflight += 1
 
     def record(self, mode: str, seconds: float, pixels: int,
                error: bool = False) -> None:
@@ -342,6 +355,7 @@ class ServerStats:
         if mode not in ("window", "dense"):
             mode = "invalid"
         with self._lock:
+            self._inflight = max(0, self._inflight - 1)
             m = self._by_mode.setdefault(
                 mode, {"requests": 0, "errors": 0, "pixels": 0, "lat": []})
             m["requests"] += 1
@@ -356,6 +370,7 @@ class ServerStats:
     def snapshot(self) -> dict:
         with self._lock:
             out = {"uptime_s": round(time.monotonic() - self._t0, 1),
+                   "inflight": self._inflight,
                    "modes": {}}
             for mode, m in self._by_mode.items():
                 lat = sorted(m["lat"])
@@ -455,6 +470,7 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
             url = urlparse(self.path)
             if url.path != "/predict":
                 return self._json(404, {"error": f"no route {url.path}"})
+            stats.begin()  # every exit path below ends in stats.record
             t0 = time.monotonic()
             mode = "window"
 
@@ -551,6 +567,17 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8400,
             self._send(200, body, ctype)
 
     srv = ThreadingHTTPServer((host, port), Handler)
+    # ThreadingHTTPServer defaults daemon_threads=True — and
+    # socketserver._Threads.append SKIPS daemon threads, so
+    # server_close()'s join was a no-op: a SIGTERM "drain" never
+    # actually waited for in-flight handlers; accepted requests died
+    # with the process (measured in the r4 load harness once its
+    # SIGTERM was gauge-gated — earlier runs only "passed" when the
+    # handler happened to finish first). Non-daemon threads are
+    # tracked and joined by server_close, making the drain real. main()
+    # still exits via os._exit afterwards, so stray threads cannot hang
+    # the process once the join returns.
+    srv.daemon_threads = False
     srv.engine = engine  # exposed for warmup() and embedders
     srv.stats = stats
     return srv
@@ -671,8 +698,20 @@ def main(argv=None) -> int:
         pass
     finally:
         srv.server_close()
-    print("server stopped")
-    return 0
+    print("server stopped", flush=True)
+    # Exit WITHOUT interpreter finalization: the remote-TPU (axon) PJRT
+    # client aborts in its C++ teardown when background threads are torn
+    # down at exit ("terminate called ... FATAL: exception not rethrown"
+    # -> SIGABRT, measured in the r4 serve load test phase C: service
+    # drain was fully correct — in-flight 200s, new connections refused
+    # — but the process died -6 AFTER 'server stopped'). Every request
+    # is answered and the socket is closed by this point; os._exit(0)
+    # reports the drain's real outcome instead of the platform
+    # destructor's. (Python-level cleanup we care about has run:
+    # server_close above, and stdout is flushed explicitly.)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

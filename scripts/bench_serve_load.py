@@ -272,7 +272,28 @@ def main() -> int:
                     for i in range(args.clients)]
         for t in shooters:
             t.start()
-        time.sleep(0.3)  # let the posts reach the server
+        # Gate the SIGTERM on the server's OWN in-flight gauge
+        # (GET /metrics "inflight") instead of a fixed sleep: on a busy
+        # 1-vCPU host a post-then-sleep window raced the accept loop —
+        # both posts still in the LISTEN backlog at signal time are owed
+        # nothing by the drain, so the phase verified nothing (measured:
+        # 0-accepted runs flagged as failures). Poll until at least one
+        # request is genuinely being processed; 10 s fallback keeps the
+        # phase bounded if /metrics itself queues behind the posts.
+        inflight_seen = 0
+        t_gate = time.monotonic()
+        while time.monotonic() - t_gate < 10.0:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{args.port}/metrics",
+                        timeout=3) as r:
+                    inflight_seen = int(
+                        json.loads(r.read()).get("inflight", 0))
+            except Exception:  # noqa: BLE001 — server busy; keep polling
+                pass
+            if inflight_seen > 0:
+                break
+            time.sleep(0.05)
         srv.send_signal(signal.SIGTERM)
         for t in shooters:
             t.join()
@@ -293,6 +314,7 @@ def main() -> int:
             refused = True
         rc = srv.wait(timeout=args.drain_timeout)
         payload["phase_c"] = {
+            "inflight_gauge_at_sigterm": inflight_seen,
             "inflight_statuses": drained,
             "inflight_all_200": (bool(accepted)
                                  and all(c == 200 for c in accepted)),

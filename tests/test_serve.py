@@ -604,3 +604,119 @@ def test_mirror_pad_matches_numpy_native(rng):
             _mirror_pad(img, pad),
             np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect"),
             err_msg=f"h={h} w={w} pad={pad}")
+
+
+def test_server_stats_inflight_gauge():
+    """The /metrics in-flight gauge: begin() raises it, record() lowers
+    it (every do_POST exit path records exactly once), and it never goes
+    negative on a spurious extra record."""
+    from dynseg.serve import ServerStats
+
+    st = ServerStats()
+    assert st.snapshot()["inflight"] == 0
+    st.begin()
+    st.begin()
+    assert st.snapshot()["inflight"] == 2
+    st.record("dense", 0.1, 100)
+    assert st.snapshot()["inflight"] == 1
+    st.record("window", 0.1, 0, error=True)
+    assert st.snapshot()["inflight"] == 0
+    st.record("dense", 0.1, 100)  # unmatched record: clamps, not -1
+    assert st.snapshot()["inflight"] == 0
+
+
+def test_inflight_gauge_tracks_live_request(served):
+    """Through the real HTTP server: the gauge reads >0 while a POST is
+    being processed and returns to 0 after (the signal the load
+    harness's SIGTERM phase gates on)."""
+    import time
+
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=16)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+
+    def get_metrics():
+        with urllib.request.urlopen(f"{base}/metrics", timeout=5) as r:
+            return json.loads(r.read())
+
+    try:
+        assert get_metrics()["inflight"] == 0
+        seen = []
+
+        def one_post():
+            img = np.zeros((48, 48, 3), np.float32)
+            buf = io.BytesIO()
+            np.save(buf, img)
+            req = urllib.request.Request(
+                f"{base}/predict?mode=dense&output=labels",
+                data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npy"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                seen.append(r.status)
+
+        t = threading.Thread(target=one_post)
+        t.start()
+        peak = 0
+        for _ in range(500):
+            peak = max(peak, get_metrics()["inflight"])
+            if not t.is_alive():
+                break
+            time.sleep(0.01)
+        t.join()
+        assert seen == [200]
+        assert peak >= 1, "gauge never observed the in-flight request"
+        assert get_metrics()["inflight"] == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_sigterm_drain_completes_accepted_requests(served):
+    """The drain must WAIT for in-flight handlers: ThreadingHTTPServer
+    defaults daemon_threads=True and socketserver._Threads skips daemon
+    threads, so server_close()'s join was a silent no-op — accepted
+    requests died with the process (found by the r4 load harness once
+    its SIGTERM was gauge-gated). make_server pins daemon_threads=False;
+    this drives shutdown+close while a request is verifiably in flight
+    and demands its 200."""
+    import time
+
+    _, _, _, _, _, out = served
+    srv = make_server(out, port=0, window_batch=16)
+    assert srv.daemon_threads is False
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    results = []
+
+    def one_post():
+        img = np.zeros((64, 64, 3), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(
+            f"{base}/predict?mode=dense&output=labels",
+            data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results.append(r.status)
+        except Exception as e:  # noqa: BLE001 — the failure under test
+            results.append(type(e).__name__)
+
+    t = threading.Thread(target=one_post)
+    t.start()
+    # wait until the request is genuinely inside do_POST (the gauge)
+    for _ in range(500):
+        with urllib.request.urlopen(f"{base}/metrics", timeout=5) as r:
+            if json.loads(r.read())["inflight"] > 0:
+                break
+        time.sleep(0.01)
+    else:
+        raise AssertionError("request never observed in flight")
+    # the production SIGTERM path: shutdown off-thread, then close (join)
+    threading.Thread(target=srv.shutdown).start()
+    srv.server_close()
+    t.join()
+    assert results == [200], results
