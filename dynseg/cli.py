@@ -185,6 +185,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "test/predict/export time the CHECKPOINT's "
                         "recorded value is authoritative (the restore "
                         "template must match its optimizer-state layout)")
+    p.add_argument("--ema_recalib_batches", type=int, default=50,
+                   help="BatchNorm-recalibration batches for the EMA "
+                        "weights at the end of training (SWA companion "
+                        "step; 0 disables). Measured decisive — see "
+                        "BENCHMARKS.md 'Params EMA'")
     p.add_argument("--use_ema", dest="use_ema", action="store_true",
                    default=None,
                    help="evaluate/export the EMA weights instead of the "
@@ -324,6 +329,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             output_path=args.output_path,
             resume=args.resume,
             ema_decay=args.ema_decay,
+            ema_recalib_batches=args.ema_recalib_batches,
         ),
         infer=InferConfig(
             stride_fraction=args.stride_fraction,
@@ -441,24 +447,49 @@ def _adopt_checkpoint_model(cfg: Config, stats: dict,
     return cfg
 
 
-def _serving_params(cfg: Config, state, use_ema: Optional[bool], log=print):
-    """Resolve which weights an eval/predict/export entry point serves:
-    use_ema None = auto (EMA whenever the checkpoint carries one),
-    True = require EMA, False = raw final iterate."""
+def _serving_variables(cfg: Config, state, stats: Optional[dict],
+                       use_ema: Optional[bool], log=print) -> dict:
+    """Assemble the variables an eval/predict/export entry point serves:
+    raw params + live BN statistics, or EMA params + their RECALIBRATED
+    BN statistics from the stats sidecar. use_ema None = auto (EMA
+    whenever the checkpoint carries one), True = require, False = raw.
+
+    The recalibrated statistics are the load-bearing half (BENCHMARKS.md
+    "Params EMA": the EMA iterate against the LIVE statistics — which
+    track the raw oscillating iterate — measured up to −19.7pp; against
+    25 recalibrated batches it BEAT the raw final by +4.7pp). Falls back
+    to live statistics with a loud warning for checkpoints recalibration
+    never reached (preempted runs, --ema_recalib_batches 0, pre-feature
+    sidecars)."""
     from dynseg.train import ema_params
 
     ema = ema_params(cfg, state)
-    if use_ema is None:
-        if ema is not None:
-            log("using EMA weights (checkpoint trained with --ema_decay "
-                f"{cfg.train.ema_decay}; pass --no_use_ema for the raw "
-                f"final iterate)")
-        return state.params if ema is None else ema
-    if use_ema and ema is None:
+    resolved = (ema is not None) if use_ema is None else use_ema
+    if resolved and ema is None:
         raise ValueError(
             "--use_ema: this checkpoint has no EMA weights (it was "
             "trained without --ema_decay)")
-    return ema if use_ema else state.params
+    if not resolved:
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    if use_ema is None:
+        log("using EMA weights (checkpoint trained with --ema_decay "
+            f"{cfg.train.ema_decay}; pass --no_use_ema for the raw "
+            f"final iterate)")
+    bs = state.batch_stats
+    rec = (stats or {}).get("ema_batch_stats")
+    if rec is not None:
+        import flax.serialization
+
+        bs = flax.serialization.from_state_dict(state.batch_stats, rec)
+        log("using recalibrated BatchNorm statistics for the EMA weights "
+            "(stats sidecar)")
+    elif jax.tree_util.tree_leaves(state.batch_stats):
+        log("WARNING: no recalibrated BN statistics in the sidecar "
+            "(preempted run, --ema_recalib_batches 0, or a pre-"
+            "recalibration checkpoint) — serving EMA weights with LIVE "
+            "statistics, measured up to -19.7pp OA (BENCHMARKS.md "
+            "'Params EMA'); prefer --no_use_ema for such checkpoints")
+    return {"params": ema, "batch_stats": bs}
 
 
 def _fix_num_input_bands(cfg: Config, train_tiles) -> Config:
@@ -646,10 +677,25 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
     ckpt.save(cfg.train.niter, state, scheduler)
     log(f"training done; final scale distribution: {scheduler.summary()}")
 
-    # End-of-training eval reports the weights that would be served:
-    # the EMA iterate when --ema_decay is on (auto, like run_testing).
-    variables = {"params": _serving_params(cfg, state, None, log),
-                 "batch_stats": state.batch_stats}
+    # End-of-training BN recalibration for the EMA weights (the SWA
+    # companion step — decisive, BENCHMARKS.md "Params EMA") + final
+    # eval of the weights that would be served (EMA auto, like
+    # run_testing).
+    from dynseg.train import ema_params as _ema_params
+
+    ema_w = _ema_params(cfg, state)
+    if (ema_w is not None and cfg.train.ema_recalib_batches > 0
+            and jax.tree_util.tree_leaves(state.batch_stats)):
+        import flax.serialization
+
+        log(f"recalibrating BatchNorm statistics for the EMA weights "
+            f"({cfg.train.ema_recalib_batches} batches)")
+        ema_bs = trainer.recalibrate_batch_stats(
+            ema_w, state.batch_stats, cfg.train.ema_recalib_batches)
+        new_stats["ema_batch_stats"] = jax.tree.map(
+            np.asarray, flax.serialization.to_state_dict(ema_bs))
+        ckpt.save_stats(new_stats)
+    variables = _serving_variables(cfg, state, new_stats, None, log)
     mesh = trainer.mesh if cfg.train.num_devices > 1 else None
     scores = validate_test(cfg, variables, test_tiles, log=log, mesh=mesh)
     _save_maps(cfg, scores, test_tiles)
@@ -762,8 +808,7 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         # spatial contexts — fuse only the top-K at test time (C12/C15).
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
-    variables = {"params": _serving_params(cfg, state, use_ema, log),
-                 "batch_stats": state.batch_stats}
+    variables = _serving_variables(cfg, state, stats, use_ema, log)
     mesh = None
     if cfg.train.num_devices > 1:
         avail = jax.devices()
@@ -832,8 +877,7 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     if scales_from_scheduler > 0:
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
-    variables = {"params": _serving_params(cfg, state, use_ema, log),
-                 "batch_stats": state.batch_stats}
+    variables = _serving_variables(cfg, state, stats, use_ema, log)
 
     # Colorize with the TRAINING dataset's palette (recorded in the
     # sidecar) — the CLI --dataset default would silently collapse
@@ -921,8 +965,7 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
     cfg = dataclasses.replace(
         cfg, sched=dataclasses.replace(
             cfg.sched, values=tuple(int(v) for v in scheduler.values)))
-    variables = {"params": _serving_params(cfg, state, use_ema, log),
-                 "batch_stats": state.batch_stats}
+    variables = _serving_variables(cfg, state, stats, use_ema, log)
     quant_variables = None
     if cfg.infer.quant != "none":
         # Quantization needs calibration imagery: reuse the exact

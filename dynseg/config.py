@@ -125,6 +125,14 @@ class TrainConfig:
     # TrainState/checkpoint layouts are unchanged when off and old
     # checkpoints restore as before. Typical value 0.999.
     ema_decay: float = 0.0
+    # BatchNorm recalibration batches for the EMA weights at the end of
+    # training (the SWA companion step; 0 disables). Measured decisive:
+    # the EMA iterate is on-manifold but the LIVE BN statistics track
+    # the raw oscillating iterate — 25 recalibrated batches flipped the
+    # donor cell from -12.7pp to +4.7pp vs the raw final (BENCHMARKS.md
+    # "Params EMA"). Stored in the stats sidecar; served automatically
+    # with --use_ema/auto.
+    ema_recalib_batches: int = 50
     seed: int = 0
     # Data-parallel device count; 1 = single chip. The mesh axis is "data".
     num_devices: int = 1

@@ -419,13 +419,15 @@ class Trainer:
         imgs, labs = gather_batch(
             images, masks, mean, std, positions, aug_ids, size
         )
-        # With EMA on, validate the EMA weights — they are what gets
-        # served (--use_ema auto-resolves to them), so keep_best must
-        # select on their metric, not the raw iterate's (static branch:
-        # ema_decay is config, not data).
-        p = ema_params(self.cfg, state)
-        variables = {"params": state.params if p is None else p,
-                     "batch_stats": state.batch_stats}
+        # Periodic validation scores the RAW iterate even when EMA is on.
+        # Measured (BENCHMARKS.md "Params EMA"): EMA params against the
+        # LIVE BatchNorm statistics are a mismatched estimator whose
+        # noisy signal BLINDS best-checkpoint selection (the 0.999 runs'
+        # best-iters landed at 2300-3000, past the real peak at
+        # 800-1200); the EMA weights are evaluated once at the end of
+        # training, against BN statistics recalibrated FOR them
+        # (recalibrate_batch_stats), where they measure strongest.
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
         logits = self.model.apply(variables, imgs, train=False)
         preds = jnp.argmax(logits, axis=-1)
         return {
@@ -506,6 +508,52 @@ class Trainer:
             jax.device_put(padded.mean, self.repl),
             jax.device_put(padded.std, self.repl),
         ), padded
+
+    def recalibrate_batch_stats(self, params: Any, batch_stats: Any,
+                                n_batches: int) -> Any:
+        """Recompute BatchNorm running statistics FOR the given params —
+        the stochastic-weight-averaging companion step, measured decisive
+        for the EMA weights (BENCHMARKS.md "Params EMA": the EMA iterate
+        against live stats lost 12.7pp vs the raw final on the donor
+        cell; against 25 recalibrated batches it WON by 4.7pp). Runs
+        n_batches train-mode forwards (params frozen, batch_stats
+        mutable) over freshly sampled balanced batches cycling the
+        trained scales; BN momentum is 0.9, so ~25-50 batches fully
+        refresh. Returns the input unchanged when n_batches <= 0."""
+        if n_batches <= 0:
+            return batch_stats
+        P = jax.sharding.PartitionSpec
+
+        def step(bs, images, masks, mean, std, positions, aug_ids, size):
+            if self.shard_tiles:
+                imgs, _ = jax.shard_map(
+                    lambda im, mk, me, st, p, a: gather_batch(
+                        im, mk, me, st, p, a, size
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P("data"), P(), P(),
+                              P("data"), P("data")),
+                    out_specs=(P("data"), P("data")),
+                )(images, masks, mean, std, positions, aug_ids)
+            else:
+                imgs, _ = gather_batch(
+                    images, masks, mean, std, positions, aug_ids, size
+                )
+            _, mut = self.model.apply(
+                {"params": params, "batch_stats": bs},
+                imgs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)},
+            )
+            return mut["batch_stats"]
+
+        step = jax.jit(step, static_argnames=("size",))
+        bs = jax.tree.map(jnp.copy, batch_stats)
+        for i in range(n_batches):
+            scale = self.scales[i % len(self.scales)]
+            pos, aug = self.make_batch_inputs(scale)
+            bs = step(bs, self.images, self.masks, self.mean, self.std,
+                      pos[0], aug[0], size=scale)
+        return bs
 
     def compile_buckets(self, state: TrainState) -> Dict[int, float]:
         """Pre-compile every per-scale step BEFORE the timed loop so XLA

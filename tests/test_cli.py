@@ -281,6 +281,10 @@ def test_ema_flags_resolution():
 
     args = build_argparser().parse_args(base + ["--ema_decay", "0.999"])
     assert config_from_args(args).train.ema_decay == 0.999
+    assert config_from_args(args).train.ema_recalib_batches == 50
+    args = build_argparser().parse_args(
+        base + ["--ema_recalib_batches", "0"])
+    assert config_from_args(args).train.ema_recalib_batches == 0
     assert build_argparser().parse_args(
         base + ["--use_ema"]).use_ema is True
     assert build_argparser().parse_args(

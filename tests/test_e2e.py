@@ -857,3 +857,38 @@ def test_ema_flow_auto_raw_and_guards(tmp_path):
     run_training(cfg2, log=lambda *_: None)
     with pytest.raises(ValueError, match="no EMA weights"):
         run_testing(cfg2, log=lambda *_: None, use_ema=True)
+
+
+def test_ema_recalibration_sidecar_and_fallback(tmp_path):
+    """End-of-training BN recalibration: the sidecar carries
+    ema_batch_stats, auto-eval uses them (and says so); with
+    --ema_recalib_batches 0 the sidecar lacks them and the EMA eval
+    falls back to live statistics with a loud warning."""
+    from dynseg.checkpoint import CheckpointManager
+
+    def train(out, recalib):
+        args = build_argparser().parse_args([
+            "--operation", "training", "--dataset", "synthetic",
+            "--output_path", str(out), "--net_type", "dilated_grsl",
+            "--distribution_type", "single_fixed", "--values", "9",
+            "--window_batch", "32", "--niter", "10", "--ema_decay", "0.9",
+            "--ema_recalib_batches", str(recalib), "--no_prediction_maps",
+        ])
+        cfg = _shrink(config_from_args(args), niter=10)
+        run_training(cfg, log=lambda *_: None)
+        return cfg
+
+    out1 = tmp_path / "with_recal"
+    cfg1 = train(out1, 6)
+    stats = CheckpointManager(str(out1)).load_stats()
+    assert "ema_batch_stats" in stats
+    lines = []
+    run_testing(cfg1, log=lambda *m: lines.append(str(m[0])))
+    assert any("recalibrated BatchNorm" in ln for ln in lines), lines
+
+    out2 = tmp_path / "no_recal"
+    cfg2 = train(out2, 0)
+    assert "ema_batch_stats" not in CheckpointManager(str(out2)).load_stats()
+    lines2 = []
+    run_testing(cfg2, log=lambda *m: lines2.append(str(m[0])))
+    assert any("LIVE statistics" in ln for ln in lines2), lines2
