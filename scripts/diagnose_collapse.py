@@ -131,11 +131,15 @@ def run_cell(args, distribution, seed):
     best_logs = []
     cfg_t = config_from_args(build_cli(args, distribution, seed, outdir,
                                        "testing"))
+    # With EMA on, pin the arms' semantics: best = the RAW iterate at the
+    # best-validation step (keep_best scores raw — the proven mitigation);
+    # the EMA arm below serves the recalibrated sidecar statistics (auto).
+    best_use_ema = False if args.ema_decay > 0 else None
     if args.width_multiplier != 1.0:
         cfg_t = dataclasses.replace(cfg_t, model=dataclasses.replace(
             cfg_t.model, width_multiplier=args.width_multiplier))
     best = run_testing(cfg_t, log=lambda *m: best_logs.append(
-        " ".join(str(x) for x in m)), use_best=True)
+        " ".join(str(x) for x in m)), use_best=True, use_ema=best_use_ema)
     best_iter = next(
         (int(m.group(1)) for ln in best_logs for m in [BEST_RE.search(ln)]
          if m), None)
