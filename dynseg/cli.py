@@ -448,7 +448,8 @@ def _adopt_checkpoint_model(cfg: Config, stats: dict,
 
 
 def _serving_variables(cfg: Config, state, stats: Optional[dict],
-                       use_ema: Optional[bool], log=print) -> dict:
+                       use_ema: Optional[bool], log=print,
+                       from_best: bool = False) -> dict:
     """Assemble the variables an eval/predict/export entry point serves:
     raw params + live BN statistics, or EMA params + their RECALIBRATED
     BN statistics from the stats sidecar. use_ema None = auto (EMA
@@ -483,6 +484,11 @@ def _serving_variables(cfg: Config, state, stats: Optional[dict],
         bs = flax.serialization.from_state_dict(state.batch_stats, rec)
         log("using recalibrated BatchNorm statistics for the EMA weights "
             "(stats sidecar)")
+        if from_best:
+            log("note: the sidecar's recalibrated statistics belong to "
+                "the END-of-training EMA; for this best-step checkpoint "
+                "they are an approximation (the raw best iterate, "
+                "--no_use_ema, needs no recalibration)")
     elif jax.tree_util.tree_leaves(state.batch_stats):
         log("WARNING: no recalibrated BN statistics in the sidecar "
             "(preempted run, --ema_recalib_batches 0, or a pre-"
@@ -808,7 +814,8 @@ def run_testing(cfg: Config, log=print, scales_from_scheduler: int = 0,
         # spatial contexts — fuse only the top-K at test time (C12/C15).
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
-    variables = _serving_variables(cfg, state, stats, use_ema, log)
+    variables = _serving_variables(cfg, state, stats, use_ema, log,
+                                   from_best=use_best)
     mesh = None
     if cfg.train.num_devices > 1:
         avail = jax.devices()
@@ -877,7 +884,8 @@ def run_predict(cfg: Config, predict_path: str, log=print,
     if scales_from_scheduler > 0:
         scales = scheduler.best_scales(scales_from_scheduler)
         log(f"scheduler-selected inference scales: {scales}")
-    variables = _serving_variables(cfg, state, stats, use_ema, log)
+    variables = _serving_variables(cfg, state, stats, use_ema, log,
+                                   from_best=use_best)
 
     # Colorize with the TRAINING dataset's palette (recorded in the
     # sidecar) — the CLI --dataset default would silently collapse
@@ -965,7 +973,8 @@ def run_export(cfg: Config, platforms=("tpu", "cpu"), log=print,
     cfg = dataclasses.replace(
         cfg, sched=dataclasses.replace(
             cfg.sched, values=tuple(int(v) for v in scheduler.values)))
-    variables = _serving_variables(cfg, state, stats, use_ema, log)
+    variables = _serving_variables(cfg, state, stats, use_ema, log,
+                                   from_best=use_best)
     quant_variables = None
     if cfg.infer.quant != "none":
         # Quantization needs calibration imagery: reuse the exact
