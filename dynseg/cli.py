@@ -118,6 +118,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="negative slope of the leaky-ReLU inside conv blocks "
                         "(bracket knob — SURVEY.md C6 MED confidence; texture "
                         "bracket found it irrelevant, default kept at 0.1)")
+    p.add_argument("--bn_momentum", type=float, default=0.9,
+                   help="BatchNorm running-statistics momentum (0.9 = "
+                        "reference-parity). The r4 collapse diagnosis "
+                        "measured the late-LR oscillation as BN-coupled "
+                        "(BENCHMARKS.md 'Params EMA' follow-up 2); a "
+                        "slower track (0.99) is the knob on that loop")
     p.add_argument("--use_batch_norm", default="true",
                    choices=["true", "false"],
                    help="batch-norm inside each conv block (bracket knob — "
@@ -299,6 +305,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             num_classes=NUM_CLASSES[args.dataset],
             leaky_slope=args.leaky_slope,
             use_batch_norm=(args.use_batch_norm == "true"),
+            bn_momentum=args.bn_momentum,
             compute_dtype=_default_compute_dtype(args),
             pool_backward=args.pool_backward,
         ),
@@ -428,7 +435,8 @@ def _adopt_checkpoint_model(cfg: Config, stats: dict,
     }
     if adopt_net_type and stats.get("net_type"):
         kw["net_type"] = stats["net_type"]
-    for k in ("width_multiplier", "leaky_slope", "dropout_rate"):
+    for k in ("width_multiplier", "leaky_slope", "dropout_rate",
+              "bn_momentum"):
         if k in stats:
             kw[k] = float(stats[k])
     if "pool_window" in stats:
@@ -558,6 +566,7 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         # (shape-affecting: width/BN; behavior-affecting: slope/pool/drop).
         "width_multiplier": cfg.model.width_multiplier,
         "use_batch_norm": cfg.model.use_batch_norm,
+        "bn_momentum": cfg.model.bn_momentum,
         "leaky_slope": cfg.model.leaky_slope,
         "pool_window": cfg.model.pool_window,
         "dropout_rate": cfg.model.dropout_rate,

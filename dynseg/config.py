@@ -41,6 +41,10 @@ class ModelConfig:
     # (SURVEY.md C6, MED confidence on slope; TF default slope is 0.2).
     leaky_slope: float = 0.1
     use_batch_norm: bool = True
+    # BN running-statistics momentum (0.9 = reference-parity; the r4
+    # collapse diagnosis measured the late-LR oscillation as BN-coupled,
+    # making this the knob on that feedback loop).
+    bn_momentum: float = 0.9
     # Stride-1 SAME max-pool window interleaved between conv blocks
     # (SURVEY.md §3.3: 3x3, stride 1).
     pool_window: int = 3

@@ -30,6 +30,12 @@ class DilatedConvBlock(nn.Module):
     dilation: int = 1
     leaky_slope: float = 0.1
     use_batch_norm: bool = True
+    # BN running-statistics momentum. 0.9 = reference-parity default
+    # (TF-era BN). The r4 collapse diagnosis showed the late-LR
+    # oscillation is BN-COUPLED (BENCHMARKS.md "Params EMA" follow-up 2:
+    # without BN the collapse cell does not collapse) — a slower
+    # statistics track (0.99) is the testable knob on that feedback loop.
+    bn_momentum: float = 0.9
     pool: bool = True
     pool_window: int = 3
     pool_backward: str = "xla"
@@ -56,7 +62,7 @@ class DilatedConvBlock(nn.Module):
             # whole bf16 speedup).
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.9,
+                momentum=self.bn_momentum,
                 epsilon=1e-5,
                 dtype=self.compute_dtype,
                 param_dtype=jnp.float32,

@@ -75,6 +75,7 @@ class DilatedNet(nn.Module):
                 dilation=dil,
                 leaky_slope=self.cfg.leaky_slope,
                 use_batch_norm=self.cfg.use_batch_norm,
+                bn_momentum=self.cfg.bn_momentum,
                 pool=pool,
                 pool_window=self.cfg.pool_window,
                 pool_backward=self.cfg.pool_backward,
@@ -104,6 +105,7 @@ class DilatedDenseNet(nn.Module):
                 dilation=dil,
                 leaky_slope=self.cfg.leaky_slope,
                 use_batch_norm=self.cfg.use_batch_norm,
+                bn_momentum=self.cfg.bn_momentum,
                 pool=pool,
                 pool_window=self.cfg.pool_window,
                 pool_backward=self.cfg.pool_backward,

@@ -80,6 +80,8 @@ def build_cli(args, distribution, seed, outdir, operation):
     ]
     if args.no_batch_norm:
         argv += ["--use_batch_norm", "false"]
+    if args.bn_momentum != 0.9:
+        argv += ["--bn_momentum", str(args.bn_momentum)]
     if args.ema_decay > 0:
         argv += ["--ema_decay", str(args.ema_decay)]
     if operation == "training":
@@ -187,6 +189,10 @@ def main() -> int:
     ap.add_argument("--lr_decay_rate", type=float, default=1.0)
     ap.add_argument("--lr_decay_steps", type=int, default=50000)
     ap.add_argument("--no_batch_norm", action="store_true")
+    ap.add_argument("--bn_momentum", type=float, default=0.9,
+                    help="hypothesis knob: the oscillation is BN-coupled "
+                         "(follow-up 2) — does a slower statistics track "
+                         "(0.99) damp it at the source?")
     ap.add_argument("--ema_decay", type=float, default=0.0,
                     help=">0 trains with the params-EMA tracker and adds "
                          "a third eval (EMA iterate) per cell")
@@ -233,6 +239,7 @@ def main() -> int:
         "lr_decay_rate": args.lr_decay_rate,
         "lr_decay_steps": args.lr_decay_steps,
         "no_batch_norm": args.no_batch_norm,
+        "bn_momentum": args.bn_momentum,
         "ema_decay": args.ema_decay,
         "width_multiplier": args.width_multiplier,
         "eval_every": args.eval_every,

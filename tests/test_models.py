@@ -98,3 +98,34 @@ def test_pool_backward_pallas_flag_cpu_fallback(rng):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_bn_momentum_threads_into_batch_stats():
+    """--bn_momentum reaches the BatchNorm layers: a slower momentum
+    moves the running statistics LESS per batch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynseg.config import ModelConfig
+    from dynseg.models.dilated import build_model
+
+    x = jax.random.normal(jax.random.key(0), (4, 9, 9, 3)) * 5.0
+
+    def stats_delta(momentum):
+        cfg = ModelConfig(net_type="dilated_grsl", num_classes=2,
+                          num_input_bands=3, width_multiplier=0.125,
+                          bn_momentum=momentum)
+        model = build_model(cfg)
+        v = model.init(jax.random.key(1), jnp.zeros((1, 9, 9, 3)),
+                       train=False)
+        _, mut = model.apply(v, x, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(2)})
+        return sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree.leaves(mut["batch_stats"]),
+            jax.tree.leaves(v["batch_stats"])))
+
+    d_fast, d_slow = stats_delta(0.9), stats_delta(0.99)
+    assert d_slow < d_fast * 0.2, (d_fast, d_slow)  # (1-m) scales the step
