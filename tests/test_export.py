@@ -239,3 +239,68 @@ def test_export_with_zero_halo(tmp_path, rng):
     labels = np.asarray(pred.dense_labels_device(x))
     assert labels.shape == (1, 12, 14)
     np.testing.assert_array_equal(labels[0], pred.probs(x)[0].argmax(-1))
+
+
+def test_export_bakes_recalibrated_ema_weights(tmp_path):
+    """--operation export on an EMA checkpoint must bake the EMA params
+    WITH their recalibrated BatchNorm statistics (the shipped serving
+    recipe) — the artifact's probs must match the live EMA+recal model,
+    and must NOT match the raw final iterate."""
+    import flax.serialization
+
+    from dynseg.checkpoint import CheckpointManager
+    from dynseg.cli import (_serving_variables, build_argparser,
+                            config_from_args, run_export, run_training)
+    from dynseg.sched.scheduler import ScaleScheduler
+    from dynseg.train import init_state_template
+
+    args = build_argparser().parse_args([
+        "--operation", "training",
+        "--dataset", "synthetic",
+        "--output_path", str(tmp_path),
+        "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed",
+        "--values", "9",
+        "--window_batch", "32",
+        "--niter", "8",
+        "--ema_decay", "0.9",
+        "--ema_recalib_batches", "4",
+        "--no_prediction_maps",
+        "--compute_dtype", "float32",  # exact live comparison
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, width_multiplier=0.125),
+        train=dataclasses.replace(cfg.train, niter=8, batch_size=8,
+                                  eval_every=10_000, checkpoint_every=10_000),
+    )
+    run_training(cfg, log=lambda *_: None)
+    out = run_export(cfg, platforms=("cpu",), log=lambda *_: None)
+    pred = ExportedPredictor.load(out)
+
+    ckpt = CheckpointManager(str(tmp_path))
+    stats = ckpt.load_stats()
+    assert "ema_batch_stats" in stats
+    from dynseg.cli import _adopt_checkpoint_model
+
+    tcfg = _adopt_checkpoint_model(cfg, stats)
+    state, _ = ckpt.restore_state(init_state_template(tcfg),
+                                  ScaleScheduler(tcfg.sched, seed=0))
+    mean = np.asarray(stats["mean"], np.float32)
+    std = np.asarray(stats["std"], np.float32)
+    model = build_model(tcfg.model)
+
+    def live(variables, raw):
+        logits = model.apply(variables, (raw - mean) / std, train=False)
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    rng = np.random.default_rng(0)
+    raw = rng.uniform(0, 255, size=(2, 12, 12, 3)).astype(np.float32)
+    got = pred.probs(raw)
+    ema_vars = _serving_variables(tcfg, state, stats, None,
+                                  log=lambda *_: None)
+    np.testing.assert_allclose(got, live(ema_vars, raw),
+                               atol=1e-5, rtol=1e-5)
+    raw_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    assert not np.allclose(got, live(raw_vars, raw), atol=1e-5)
