@@ -185,9 +185,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "mitigation for the clean-horizon final-iterate "
                         "lottery (BENCHMARKS.md r4): the EMA iterate "
                         "averages across the late-training oscillation "
-                        "without validation-based selection. With EMA on, "
-                        "periodic validation and --keep_best score the "
-                        "EMA weights (they are what gets served). At "
+                        "without validation-based selection. Periodic "
+                        "validation and --keep_best score the RAW "
+                        "iterate (EMA-vs-live-BN validation scores are "
+                        "measured misleading, up to -19.7pp — "
+                        "BENCHMARKS.md 'Params EMA'); the EMA weights "
+                        "are evaluated once at END of training against "
+                        "recalibrated BN statistics, and latest-"
+                        "checkpoint serving defaults to them. At "
                         "test/predict/export time the CHECKPOINT's "
                         "recorded value is authoritative (the restore "
                         "template must match its optimizer-state layout)")
@@ -200,7 +205,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=None,
                    help="evaluate/export the EMA weights instead of the "
                         "raw final iterate. Default: auto — EMA weights "
-                        "are used whenever the checkpoint has them")
+                        "are used whenever the checkpoint has them, "
+                        "EXCEPT under --use_best, where auto serves the "
+                        "raw best iterate (the sidecar's recalibrated "
+                        "BN stats belong to the end-of-training EMA; "
+                        "pass --use_ema explicitly to opt into that "
+                        "approximate pairing)")
     p.add_argument("--no_use_ema", dest="use_ema", action="store_false",
                    help="force the raw final iterate even when the "
                         "checkpoint carries EMA weights")
@@ -460,8 +470,15 @@ def _serving_variables(cfg: Config, state, stats: Optional[dict],
                        from_best: bool = False) -> dict:
     """Assemble the variables an eval/predict/export entry point serves:
     raw params + live BN statistics, or EMA params + their RECALIBRATED
-    BN statistics from the stats sidecar. use_ema None = auto (EMA
-    whenever the checkpoint carries one), True = require, False = raw.
+    BN statistics from the stats sidecar. use_ema None = auto: EMA
+    whenever the checkpoint carries one AND this is a latest-checkpoint
+    restore. For --use_best restores auto resolves to the RAW best
+    iterate — best-step selection was scored on raw weights, and the
+    sidecar's recalibrated statistics belong to the END-of-training EMA,
+    so the EMA-params + end-stats pairing at an earlier best step was
+    never validated (diagnose_collapse.py pins use_ema=False for its
+    best arm for the same reason). Pass an explicit --use_ema to opt
+    into that approximate combination. True = require, False = raw.
 
     The recalibrated statistics are the load-bearing half (BENCHMARKS.md
     "Params EMA": the EMA iterate against the LIVE statistics — which
@@ -473,12 +490,21 @@ def _serving_variables(cfg: Config, state, stats: Optional[dict],
     from dynseg.train import ema_params
 
     ema = ema_params(cfg, state)
-    resolved = (ema is not None) if use_ema is None else use_ema
+    if use_ema is None:
+        resolved = ema is not None and not from_best
+    else:
+        resolved = use_ema
     if resolved and ema is None:
         raise ValueError(
             "--use_ema: this checkpoint has no EMA weights (it was "
             "trained without --ema_decay)")
     if not resolved:
+        if use_ema is None and from_best and ema is not None:
+            log("--use_best: serving the RAW best-validation iterate "
+                "(best-step selection was scored on raw weights; the "
+                "sidecar's recalibrated BN stats belong to the end-of-"
+                "training EMA). Pass --use_ema to opt into the "
+                "approximate EMA-at-best-step combination")
         return {"params": state.params, "batch_stats": state.batch_stats}
     if use_ema is None:
         log("using EMA weights (checkpoint trained with --ema_decay "

@@ -49,3 +49,18 @@ def test_documented_flags_exist():
                 missing.setdefault(flag, os.path.basename(f))
     assert not missing, (
         f"docs reference flags no parser defines: {missing}")
+
+
+def test_ema_decay_help_matches_shipped_semantics():
+    """Claim-level pin (VERDICT r4 weak #1): the --ema_decay help must
+    state that periodic validation / --keep_best score the RAW iterate
+    (train.py Trainer._eval_impl; test_ema_eval_scores_raw_iterate) —
+    the r4 science overturned the earlier 'EMA weights are scored'
+    claim, and the help drifted silently."""
+    from dynseg.cli import build_argparser
+
+    action = next(a for a in build_argparser()._actions
+                  if "--ema_decay" in a.option_strings)
+    assert "RAW" in action.help, action.help
+    # the overturned claim must be gone
+    assert "they are what gets served" not in action.help

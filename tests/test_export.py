@@ -304,3 +304,35 @@ def test_export_bakes_recalibrated_ema_weights(tmp_path):
                                atol=1e-5, rtol=1e-5)
     raw_vars = {"params": state.params, "batch_stats": state.batch_stats}
     assert not np.allclose(got, live(raw_vars, raw), atol=1e-5)
+
+
+def test_serving_variables_use_best_auto_resolves_raw():
+    """ADVICE r4: with --use_best on an EMA-trained checkpoint, auto
+    (use_ema=None) must serve the RAW best iterate — best-step selection
+    was scored on raw weights and the sidecar's recalibrated BN stats
+    belong to the end-of-training EMA. Explicit use_ema=True still opts
+    into the approximate combination."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    from dynseg.cli import _serving_variables
+    from dynseg.config import Config
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999))
+    raw = {"w": np.ones((2,))}
+    ema = {"w": np.full((2,), 2.0)}
+    bs = {"bn": {"mean": np.zeros((2,))}}
+    state = SimpleNamespace(params=raw, batch_stats=bs,
+                            opt_state=(SimpleNamespace(ema=ema),))
+
+    got = _serving_variables(cfg, state, {}, None, log=lambda *_: None,
+                             from_best=True)
+    assert got["params"] is raw  # auto -> raw for best restores
+    got = _serving_variables(cfg, state, {}, None, log=lambda *_: None,
+                             from_best=False)
+    assert got["params"] is ema  # auto -> EMA for latest restores
+    got = _serving_variables(cfg, state, {}, True, log=lambda *_: None,
+                             from_best=True)
+    assert got["params"] is ema  # explicit opt-in still works
