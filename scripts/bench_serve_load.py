@@ -134,6 +134,10 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=8437)
     ap.add_argument("--warmup_deadline", type=float, default=600.0)
     ap.add_argument("--drain_timeout", type=float, default=120.0)
+    ap.add_argument("--cross_batch_ms", type=float, default=0.0,
+                    help="forwarded to the server: cross-request dynamic "
+                         "batching linger (the r5 aggregate-throughput "
+                         "lever for concurrent single-block clients)")
     ap.add_argument("--out", default="docs/serve_load.json")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
@@ -166,6 +170,8 @@ def main() -> int:
          # warm only the load shapes; the default menu warms sizes this
          # harness never posts
          "--warmup_size", str(max(sizes))]
+        + (["--cross_batch_ms", str(args.cross_batch_ms)]
+           if args.cross_batch_ms > 0 else [])
         # --platform, not JAX_PLATFORMS: the axon sitecustomize ignores
         # the env var (that bug cost the first smoke run its 600 s)
         + (["--platform", args.platform] if args.platform else []),
@@ -175,6 +181,7 @@ def main() -> int:
         "clients": args.clients, "duration_s": args.duration,
         "sizes": sizes, "mode": args.mode,
         "dense_block": args.dense_block,
+        "cross_batch_ms": args.cross_batch_ms,
         "compute_dtype": args.compute_dtype,
         "max_request_mb": args.max_request_mb,
     }
