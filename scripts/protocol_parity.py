@@ -1,0 +1,384 @@
+"""Cross-framework FULL-PROTOCOL parity harness (VERDICT r4 next #2).
+
+The strongest parity evidence obtainable while /root/reference is empty:
+run the COMPLETE reconstructed protocol — balanced sampling -> dynamic
+multinomial scheduler -> patch training -> lambda/2 window-voting
+inference -> OA/kappa/F1 — twice, on the same data:
+
+  * the dynseg framework (JAX/Flax, the shipped `--operation training`
+    + `validate_test` code paths, via dynseg.cli), and
+  * an INDEPENDENT TensorFlow implementation written in this script
+    from the same reconstructed semantics (SURVEY.md §3.1-3.4): its own
+    scheduler (`TFScheduler` below — reimplemented from the §3.4 prose,
+    NOT imported from dynseg.sched), its own host window-voting
+    inference, and sklearn metrics instead of dynseg.metrics.
+
+Layer goldens (tests/test_golden_torch.py) pin per-layer math; this
+harness is the end-to-end analog: a semantic bug anywhere in the dynseg
+protocol (sampling balance, scheduler update rule/sign, voting stride,
+metric definitions) shows up as a systematic OA gap between the paired
+runs that seed noise cannot explain.
+
+What is INTENTIONALLY shared between the two legs — and therefore
+outside this harness's test surface:
+  * the data generator (identical tiles are the point of a paired run),
+  * BalancedPatchSampler position TABLES (host-side numpy, already
+    golden-tested; each leg draws from them with its own RNG), and
+  * the dihedral transform convention (numpy-golden-tested).
+Everything downstream — scheduler, train loop, optimizer semantics,
+inference, metrics — is independent code.
+
+Comparison logic: training is stochastic per framework (different init
+and sampling streams), so the check is distributional: per-framework
+mean +- spread of final OA over >= 3 seeds; PASS iff |mean_dynseg -
+mean_tf| <= max(--gate, combined seed spread). Writes one JSON payload
+(--out) with per-seed rows for the committed table in BENCHMARKS.md.
+
+Usage (CPU by design — TF is CPU-only here and the point is accuracy):
+    python scripts/protocol_parity.py --seeds 0,1,2 --niter 1000 \
+        --out docs/protocol_parity.json
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------- #
+# Independent scheduler (reimplemented from SURVEY.md §3.4 semantics —
+# deliberately NOT dynseg.sched.scheduler)
+# --------------------------------------------------------------------- #
+class TFScheduler:
+    """Multinomial dynamic patch-size selection: per-scale EMA of batch
+    accuracy; unvisited (or non-finite) scales get the mean fitness of
+    visited ones; probabilities are the normalized raw scores; sampling
+    favors HIGH score (the paper's reading)."""
+
+    def __init__(self, values, ema: float = 0.9, seed: int = 0):
+        self.values = [int(v) for v in values]
+        self.ema = float(ema)
+        self.scores = {v: None for v in self.values}
+        self.rng = np.random.default_rng(seed)
+
+    def probabilities(self) -> np.ndarray:
+        raw = [self.scores[v] for v in self.values]
+        vis = [s for s in raw if s is not None and np.isfinite(s)]
+        if not vis:
+            return np.full(len(self.values), 1.0 / len(self.values))
+        mean = float(np.mean(vis))
+        fit = np.array([mean if (s is None or not np.isfinite(s)) else s
+                        for s in raw], np.float64)
+        fit = np.maximum(fit, 1e-6)
+        return fit / fit.sum()
+
+    def select(self) -> int:
+        return int(self.rng.choice(self.values, p=self.probabilities()))
+
+    def update(self, scale: int, acc: float) -> None:
+        if not np.isfinite(acc):
+            return
+        prev = self.scores[scale]
+        self.scores[scale] = (float(acc) if prev is None
+                              else self.ema * prev + (1 - self.ema) * float(acc))
+
+
+# --------------------------------------------------------------------- #
+# Independent window-voting inference + metrics (numpy + sklearn)
+# --------------------------------------------------------------------- #
+def tf_window_vote(predict_probs, img: np.ndarray, scales, nc: int,
+                   stride_fraction: float = 0.5,
+                   batch: int = 128) -> np.ndarray:
+    """Multi-scale sliding-window softmax voting, written fresh: mirror
+    pad by max(scale), per scale slide at stride round(s*frac) with a
+    final snapped window per axis, average the per-pixel probability
+    votes. Same SEMANTICS as SURVEY.md C15, independent code."""
+    h, w = img.shape[:2]
+    pad = max(int(s) for s in scales)
+    big = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    acc = np.zeros((h + 2 * pad, w + 2 * pad, nc), np.float64)
+    cnt = np.zeros((h + 2 * pad, w + 2 * pad, 1), np.float64)
+
+    def starts(extent_lo, extent_hi, s, stride, lim):
+        first = max(0, extent_lo - s // 2)
+        ss = list(range(min(first, lim), min(extent_hi, lim + 1), stride))
+        while ss[-1] + s < extent_hi and ss[-1] < lim:
+            ss.append(min(lim, ss[-1] + stride))
+        return [r for r in ss if r < extent_hi] or [min(lim, extent_lo)]
+
+    for s in (int(v) for v in scales):
+        stride = min(s, max(1, int(round(s * stride_fraction))))
+        rows = starts(pad, pad + h, s, stride, big.shape[0] - s)
+        cols = starts(pad, pad + w, s, stride, big.shape[1] - s)
+        origins = [(r, c) for r in rows for c in cols]
+        for lo in range(0, len(origins), batch):
+            chunk = origins[lo:lo + batch]
+            xs = np.stack([big[r:r + s, c:c + s] for r, c in chunk])
+            probs = predict_probs(xs)  # (n, s, s, nc) softmax
+            for i, (r, c) in enumerate(chunk):
+                acc[r:r + s, c:c + s] += probs[i]
+                cnt[r:r + s, c:c + s] += 1.0
+    out = acc[pad:pad + h, pad:pad + w] / np.maximum(
+        cnt[pad:pad + h, pad:pad + w], 1e-9)
+    return out
+
+
+def sk_metrics(y_true: np.ndarray, y_pred: np.ndarray, nc: int) -> dict:
+    from sklearn.metrics import cohen_kappa_score, f1_score
+
+    yt, yp = y_true.ravel(), y_pred.ravel()
+    return {
+        "oa": float((yt == yp).mean()),
+        "kappa": float(cohen_kappa_score(yt, yp, labels=list(range(nc)))),
+        "mean_f1": float(f1_score(yt, yp, labels=list(range(nc)),
+                                  average="macro")),
+    }
+
+
+# --------------------------------------------------------------------- #
+# TF leg: full protocol
+# --------------------------------------------------------------------- #
+def run_tf_leg(args, seed: int, train_tiles, test_tiles, nc: int) -> dict:
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    tf.keras.utils.set_random_seed(seed)
+
+    from tf_baseline import build_tf_model
+
+    from dynseg.data.sampler import BalancedPatchSampler
+    from dynseg.data.tiles import mirror_pad
+    from dynseg.ops.dihedral import dihedral
+
+    values = [int(v) for v in args.values.split(",")]
+    pad = max(values) // 2 + 1
+    padded = mirror_pad(train_tiles, pad)
+    sampler = BalancedPatchSampler(padded, num_classes=nc, pad=pad,
+                                   seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    mean, std = train_tiles.mean, train_tiles.std
+    bands = train_tiles.images.shape[-1]
+
+    def host_batch(n: int, size: int):
+        pos = sampler.sample(n)
+        half = size // 2
+        xs = np.empty((n, size, size, bands), np.float32)
+        ys = np.empty((n, size, size), np.int32)
+        for i, (t, r, c) in enumerate(pos):
+            r0, c0 = r - half, c - half
+            img = padded.images[t, r0:r0 + size, c0:c0 + size]
+            lab = padded.masks[t, r0:r0 + size, c0:c0 + size]
+            k = int(rng.integers(0, 8))
+            xs[i] = dihedral((img - mean) / std, k, np)
+            ys[i] = dihedral(lab[..., None], k, np)[..., 0]
+        return xs, ys
+
+    model = build_tf_model(tf, num_classes=nc, bands=bands,
+                           width=args.width_multiplier)
+    opt = tf.keras.optimizers.SGD(learning_rate=args.learning_rate,
+                                  momentum=0.9)
+    kernels = [v for v in model.trainable_variables if len(v.shape) == 4]
+
+    @tf.function
+    def train_step(x, y):
+        with tf.GradientTape() as tape:
+            logits = model(x, training=True)
+            valid = tf.not_equal(y, 255)
+            y_safe = tf.where(valid, y, tf.zeros_like(y))
+            ce = tf.nn.sparse_softmax_cross_entropy_with_logits(
+                labels=y_safe, logits=logits)
+            ce = tf.where(valid, ce, tf.zeros_like(ce))
+            nvalid = tf.maximum(
+                tf.reduce_sum(tf.cast(valid, tf.float32)), 1.0)
+            ce = tf.reduce_sum(ce) / nvalid
+            l2 = tf.add_n([tf.nn.l2_loss(k) for k in kernels])
+            loss = ce + args.weight_decay * l2
+        grads = tape.gradient(loss, model.trainable_variables)
+        opt.apply_gradients(zip(grads, model.trainable_variables))
+        pred = tf.argmax(logits, -1, output_type=tf.int32)
+        correct = tf.cast(tf.equal(pred, y), tf.float32)
+        correct = tf.where(valid, correct, tf.zeros_like(correct))
+        acc = tf.reduce_sum(correct) / nvalid
+        return loss, acc
+
+    sched = TFScheduler(values, ema=args.sched_ema, seed=seed + 2)
+    t0 = time.time()
+    for it in range(args.niter):
+        lam = sched.select()
+        x, y = host_batch(args.batch_size, lam)
+        loss, acc = train_step(tf.constant(x), tf.constant(y))
+        sched.update(lam, float(acc.numpy()))
+        if (it + 1) % 200 == 0:
+            probs = {v: round(p, 3) for v, p in
+                     zip(values, sched.probabilities())}
+            print(f"  [tf seed {seed}] iter {it + 1}/{args.niter} "
+                  f"loss={float(loss.numpy()):.4f} "
+                  f"acc={float(acc.numpy()):.4f} p={probs}", flush=True)
+    train_s = time.time() - t0
+
+    @tf.function
+    def infer_probs(x):
+        return tf.nn.softmax(model(x, training=False), axis=-1)
+
+    def predict_probs(xs):
+        xn = (xs - mean) / std
+        return infer_probs(tf.constant(xn.astype(np.float32))).numpy()
+
+    cm_pred, cm_true = [], []
+    for t in range(test_tiles.images.shape[0]):
+        probs = tf_window_vote(predict_probs, test_tiles.images[t],
+                               values, nc,
+                               stride_fraction=args.stride_fraction,
+                               batch=args.window_batch)
+        cm_pred.append(probs.argmax(-1))
+        cm_true.append(test_tiles.masks[t])
+    m = sk_metrics(np.stack(cm_true), np.stack(cm_pred), nc)
+    m.update(framework="tf", seed=seed, train_s=round(train_s, 1),
+             final_probs={str(v): round(float(p), 4) for v, p in
+                          zip(values, sched.probabilities())})
+    return m
+
+
+# --------------------------------------------------------------------- #
+# dynseg leg: the shipped CLI paths
+# --------------------------------------------------------------------- #
+def run_dynseg_leg(args, seed: int) -> dict:
+    from dynseg.cli import (build_argparser, config_from_args, run_testing,
+                            run_training)
+
+    outdir = os.path.join(args.workdir, f"dynseg_s{seed}")
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+    argv = [
+        "--operation", "training",
+        "--dataset", args.dataset,
+        "--dataset_kwargs", args.dataset_kwargs,
+        "--output_path", outdir,
+        "--net_type", "dilated_icpr_rate6",
+        "--distribution_type", "multinomial",
+        "--values", args.values,
+        "--update_type", "acc",
+        "--niter", str(args.niter),
+        "--batch_size", str(args.batch_size),
+        "--learning_rate", str(args.learning_rate),
+        "--weight_decay", str(args.weight_decay),
+        "--seed", str(seed),
+        "--eval_every", str(10 * args.niter),  # no periodic val: final only
+        "--checkpoint_every", str(10 * args.niter),
+        "--window_batch", str(args.window_batch),
+        "--stride_fraction", str(args.stride_fraction),
+        "--no_keep_best",  # the TF leg has no best-selection either
+        "--no_prediction_maps",
+    ]
+    cfg = config_from_args(build_argparser().parse_args(argv))
+    if args.width_multiplier != 1.0:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, width_multiplier=args.width_multiplier))
+    t0 = time.time()
+    logs = []
+    run_training(cfg, log=lambda *m: logs.append(" ".join(map(str, m))),
+                 keep_best=False)
+    train_s = time.time() - t0
+    for ln in logs[-3:]:
+        print(f"  [dynseg seed {seed}] {ln}", flush=True)
+    scores = run_testing(cfg, log=lambda *m: None)
+    return {"framework": "dynseg", "seed": seed,
+            "oa": float(scores["oa"]), "kappa": float(scores["kappa"]),
+            "mean_f1": float(scores["mean_f1"]),
+            "train_s": round(train_s, 1)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--niter", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--values", default="25,35,45")
+    ap.add_argument("--learning_rate", type=float, default=0.01)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
+    ap.add_argument("--sched_ema", type=float, default=0.9)
+    ap.add_argument("--stride_fraction", type=float, default=0.5)
+    ap.add_argument("--window_batch", type=int, default=128)
+    ap.add_argument("--width_multiplier", type=float, default=0.25,
+                    help="narrow both models identically (CPU runtime)")
+    ap.add_argument("--dataset", default="synthetic_texture")
+    ap.add_argument("--dataset_kwargs",
+                    default='{"label_noise": 0.0, "seed": 0}',
+                    help="SAME tiles for every leg/seed — only training "
+                         "stochasticity varies")
+    ap.add_argument("--gate", type=float, default=0.02,
+                    help="|mean OA gap| floor considered parity even if "
+                         "seed spread is tiny")
+    ap.add_argument("--workdir", default="/tmp/protocol_parity")
+    ap.add_argument("--out", default="docs/protocol_parity.json")
+    ap.add_argument("--skip_tf", action="store_true")
+    ap.add_argument("--skip_dynseg", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # accuracy harness: CPU
+
+    from dynseg.data.datasets import NUM_CLASSES, load_dataset
+
+    kw = json.loads(args.dataset_kwargs)
+    train_tiles, test_tiles = load_dataset(args.dataset, "", **kw)
+    nc = NUM_CLASSES[args.dataset]
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    rows = []
+    for seed in seeds:
+        if not args.skip_dynseg:
+            print(f"== dynseg leg, seed {seed}", flush=True)
+            rows.append(run_dynseg_leg(args, seed))
+            print(f"  -> {rows[-1]}", flush=True)
+        if not args.skip_tf:
+            print(f"== tf leg, seed {seed}", flush=True)
+            rows.append(run_tf_leg(args, seed, train_tiles, test_tiles, nc))
+            print(f"  -> {rows[-1]}", flush=True)
+
+    payload = {"config": {k: getattr(args, k) for k in
+                          ("seeds", "niter", "batch_size", "values",
+                           "learning_rate", "weight_decay", "sched_ema",
+                           "stride_fraction", "width_multiplier",
+                           "dataset", "dataset_kwargs", "gate")},
+               "rows": rows}
+    by = {}
+    for r in rows:
+        by.setdefault(r["framework"], []).append(r["oa"])
+    if len(by) == 2:
+        md = float(np.mean(by["dynseg"]))
+        mt = float(np.mean(by["tf"]))
+        sd = float(np.std(by["dynseg"]))
+        st = float(np.std(by["tf"]))
+        gap = abs(md - mt)
+        # combined seed noise: spread either leg shows on its own
+        noise = max(sd, st, args.gate)
+        payload["summary"] = {
+            "dynseg_oa_mean": round(md, 4), "dynseg_oa_std": round(sd, 4),
+            "tf_oa_mean": round(mt, 4), "tf_oa_std": round(st, 4),
+            "oa_gap": round(gap, 4), "noise_scale": round(noise, 4),
+            "parity": bool(gap <= noise),
+        }
+        print(json.dumps(payload["summary"]))
+    if args.out:
+        with open(os.path.join(REPO, args.out)
+                  if not os.path.isabs(args.out) else args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"-> wrote {args.out}")
+    if "summary" in payload and not payload["summary"]["parity"]:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -42,16 +42,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_tf_model(tf, num_classes: int, bands: int):
+def build_tf_model(tf, num_classes: int, bands: int, width: float = 1.0):
     """dilated_icpr_rate6 in Keras ops — mirrors dynseg/models/dilated.py
     _ARCH + blocks.DilatedConvBlock exactly (BN, leaky 0.1, stride-1
-    pools, no bias under BN)."""
+    pools, no bias under BN). `width` scales the channel table the same
+    way ModelConfig.width_multiplier does (CPU pilots)."""
     L = tf.keras.layers
     arch = [(5, 64, 1), (5, 64, 2), (4, 128, 3),
             (4, 128, 4), (3, 256, 5), (3, 256, 6)]
     inp = tf.keras.Input(shape=(None, None, bands))
     x = inp
     for k, f, d in arch:
+        f = max(1, int(f * width))  # same trunc rule as ModelConfig
         x = L.Conv2D(f, k, padding="same", dilation_rate=d, use_bias=False)(x)
         x = L.BatchNormalization(momentum=0.9, epsilon=1e-5)(x)
         try:
