@@ -82,6 +82,8 @@ def build_cli(args, distribution, seed, outdir, operation):
         argv += ["--use_batch_norm", "false"]
     if args.bn_momentum != 0.9:
         argv += ["--bn_momentum", str(args.bn_momentum)]
+    if args.compute_dtype:
+        argv += ["--compute_dtype", args.compute_dtype]
     if args.ema_decay > 0:
         argv += ["--ema_decay", str(args.ema_decay)]
     if operation == "training":
@@ -189,6 +191,10 @@ def main() -> int:
     ap.add_argument("--lr_decay_rate", type=float, default=1.0)
     ap.add_argument("--lr_decay_steps", type=int, default=50000)
     ap.add_argument("--no_batch_norm", action="store_true")
+    ap.add_argument("--compute_dtype", default="",
+                    help="train in this activation dtype (bfloat16 = the "
+                         "r5 mixed-precision-training evaluation, VERDICT "
+                         "r4 #5; empty = CLI default f32)")
     ap.add_argument("--bn_momentum", type=float, default=0.9,
                     help="hypothesis knob: the oscillation is BN-coupled "
                          "(follow-up 2) — does a slower statistics track "
@@ -240,6 +246,7 @@ def main() -> int:
         "lr_decay_steps": args.lr_decay_steps,
         "no_batch_norm": args.no_batch_norm,
         "bn_momentum": args.bn_momentum,
+        "compute_dtype": args.compute_dtype or "float32",
         "ema_decay": args.ema_decay,
         "width_multiplier": args.width_multiplier,
         "eval_every": args.eval_every,
