@@ -322,11 +322,18 @@ def main() -> int:
     ap.add_argument("--out", default="docs/protocol_parity.json")
     ap.add_argument("--skip_tf", action="store_true")
     ap.add_argument("--skip_dynseg", action="store_true")
+    ap.add_argument("--jax_platform", default="cpu",
+                    help="platform for the DYNSEG leg ('' = image "
+                         "default, i.e. the TPU). The comparison is an "
+                         "ACCURACY one, so running dynseg on the chip "
+                         "while TF stays on this host's single vCPU is "
+                         "sound — and ~60x faster end to end")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # accuracy harness: CPU
+    if args.jax_platform:
+        jax.config.update("jax_platforms", args.jax_platform)
 
     from dynseg.data.datasets import NUM_CLASSES, load_dataset
 
@@ -346,6 +353,21 @@ def main() -> int:
             rows.append(run_tf_leg(args, seed, train_tiles, test_tiles, nc))
             print(f"  -> {rows[-1]}", flush=True)
 
+    out_path = (os.path.join(REPO, args.out)
+                if not os.path.isabs(args.out) else args.out)
+    # Merge across invocations: the two legs may run on different
+    # devices/at different times (1-vCPU host: TF on CPU while the chip
+    # is busy, dynseg on the TPU later). Same (framework, seed) rows are
+    # replaced.
+    old_rows = []
+    if os.path.exists(out_path):
+        try:
+            old_rows = json.load(open(out_path)).get("rows", [])
+        except Exception:  # noqa: BLE001 — a corrupt file just restarts
+            old_rows = []
+    fresh = {(r["framework"], r["seed"]) for r in rows}
+    rows = [r for r in old_rows
+            if (r["framework"], r["seed"]) not in fresh] + rows
     payload = {"config": {k: getattr(args, k) for k in
                           ("seeds", "niter", "batch_size", "values",
                            "learning_rate", "weight_decay", "sched_ema",
@@ -371,8 +393,7 @@ def main() -> int:
         }
         print(json.dumps(payload["summary"]))
     if args.out:
-        with open(os.path.join(REPO, args.out)
-                  if not os.path.isabs(args.out) else args.out, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"-> wrote {args.out}")
     if "summary" in payload and not payload["summary"]["parity"]:
