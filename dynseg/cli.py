@@ -143,6 +143,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pool_backward", default="xla", choices=["xla", "pallas"],
                    help="stride-1 max-pool VJP: XLA select_and_scatter or "
                         "the (H*W,C)-layout Pallas kernel (ops/pool.py)")
+    p.add_argument("--quant_conv", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="conv impl for --quant int8 blocks: auto = the "
+                        "K5 Pallas shifted-matmul kernel on TPU "
+                        "(measured 1.41x the Mosaic conv emitter at the "
+                        "serving block shape, fused dequant/BN/leaky/"
+                        "requant epilogue — ops/pallas_conv.py), xla = "
+                        "always the emitter")
     p.add_argument("--eval_every", type=int, default=500,
                    help="validation interval in iterations (0 disables)")
     p.add_argument("--checkpoint_every", type=int, default=1000,
@@ -318,6 +326,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             bn_momentum=args.bn_momentum,
             compute_dtype=_default_compute_dtype(args),
             pool_backward=args.pool_backward,
+            quant_conv=args.quant_conv,
         ),
         sched=SchedulerConfig(
             distribution_type=args.distribution_type,

@@ -61,6 +61,13 @@ class ModelConfig:
     # (select_and_scatter) or "pallas" ((H*W, C)-layout equality-mask
     # kernel with tie-split subgradient — dynseg/ops/pool.py, K4).
     pool_backward: str = "xla"
+    # Conv implementation for the quantized (int8) serving blocks:
+    # "auto" (default) = the K5 Pallas shifted-matmul kernel on the TPU
+    # when the geometry gate passes (measured 1.41x the Mosaic conv
+    # emitter at the serving block shape — docs/int8_kernel_probe.json),
+    # XLA elsewhere; "xla" = always the emitter; "pallas" = force the
+    # kernel (interpret-mode on CPU; tests).
+    quant_conv: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -341,6 +348,9 @@ class Config:
         check(self.model.pool_backward in ("xla", "pallas"),
               f"pool_backward {self.model.pool_backward!r} not in "
               f"('xla', 'pallas')")
+        check(self.model.quant_conv in ("auto", "xla", "pallas"),
+              f"quant_conv {self.model.quant_conv!r} not in "
+              f"('auto', 'xla', 'pallas')")
         extra = tuple(b.strip() for b in self.data.extra_bands.split(",")
                       if b.strip())
         check(all(b in ("dsm", "ndsm") for b in extra),

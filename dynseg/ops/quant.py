@@ -106,6 +106,24 @@ def _quantize_act(x, sx):
     ).astype(jnp.int8)
 
 
+def _use_pallas_conv(mcfg: ModelConfig, spec: dict, x) -> bool:
+    """Route this quantized block's conv through the K5 Pallas kernel?
+    quant_conv: 'xla' = never; 'pallas' = whenever the geometry gate
+    passes (runs interpret-mode on CPU — tests only, it is a slowdown
+    there); 'auto' (default) = geometry gate AND on the real TPU (the
+    1.41x is a TPU measurement — docs/int8_kernel_probe.json)."""
+    mode = getattr(mcfg, "quant_conv", "auto")
+    if mode == "xla":
+        return False
+    from dynseg.ops import pallas_conv
+
+    if not pallas_conv.supported(int(x.shape[2]), spec["cin"],
+                                 spec["cout"], spec["kernel"],
+                                 spec["dilation"]):
+        return False
+    return mode == "pallas" or jax.devices()[0].platform == "tpu"
+
+
 def _block_forward(mcfg: ModelConfig, spec: dict, params, stats, quant,
                    x, record: Optional[dict], calib_pct: float,
                    in_scale=None, out_scale=None):
@@ -138,6 +156,43 @@ def _block_forward(mcfg: ModelConfig, spec: dict, params, stats, quant,
         sx = in_scale if in_scale is not None else quant["act_scale"]
         sw = quant["w_scale"]  # f32 (cout,)
         xq = x if in_scale is not None else _quantize_act(x, sx)
+        if _use_pallas_conv(mcfg, spec, xq):
+            # K5 (ops/pallas_conv.py): the shifted-matmul kernel runs
+            # this conv 1.41x faster than the Mosaic conv emitter at
+            # the serving block shape (docs/int8_kernel_probe.json) and
+            # fuses the WHOLE epilogue — dequant+BN/bias affine fold,
+            # leaky, the streamed-int8 requant — into the launch (a
+            # pallas call cannot be fused into by XLA, so an unfused
+            # epilogue would cost a full feature-map round trip).
+            from dynseg.ops import pallas_conv
+
+            a = (sx * sw).astype(jnp.float32)
+            if mcfg.use_batch_norm:
+                bn, st = params["BatchNorm_0"], stats["BatchNorm_0"]
+                inv = jax.lax.rsqrt(st["var"].astype(jnp.float32) + 1e-5)
+                g = inv * bn["scale"].astype(jnp.float32)
+                b = (bn["bias"].astype(jnp.float32)
+                     - st["mean"].astype(jnp.float32) * g)
+                a, b = a * g, b
+            else:
+                b = conv_p["bias"].astype(jnp.float32)
+            y = pallas_conv.int8_block_conv(
+                xq, conv_p["kernel"], a, b, dilation=spec["dilation"],
+                leaky_slope=mcfg.leaky_slope, out_scale=out_scale,
+                out_dtype=dtype,
+                interpret=jax.devices()[0].platform != "tpu")
+            if out_scale is not None:
+                if spec["pool"]:
+                    y = jax.lax.reduce_window(
+                        y, jnp.int8(-128), jax.lax.max,
+                        (1, mcfg.pool_window, mcfg.pool_window, 1),
+                        (1, 1, 1, 1), "SAME")
+                return y, out_scale
+            if spec["pool"]:
+                y = nn.max_pool(
+                    y, window_shape=(mcfg.pool_window, mcfg.pool_window),
+                    strides=(1, 1), padding="SAME")
+            return y, None
         acc = _conv(xq, conv_p["kernel"], spec["dilation"], jnp.int32)
         y = (acc.astype(jnp.float32) * (sx * sw)).astype(dtype)
     if mcfg.use_batch_norm:

@@ -154,7 +154,11 @@ def pallas_conv(x, w, scale: float, dil: int, tile_h: int,
 
     bsz, h, hw, c = x.shape
     assert h % tile_h == 0, (h, tile_h)
-    xpad = jnp.pad(x, ((0, 0), (dil, dil), (dil, dil), (0, 0)))
+    # Mosaic requires HBM slice shapes aligned to the sublane tiling —
+    # pad the width (dim 2 of the slab) up to a multiple of 32.
+    wp = ((hw + 2 * dil + 31) // 32) * 32
+    xpad = jnp.pad(x, ((0, 0), (dil, dil),
+                       (dil, wp - hw - dil), (0, 0)))
     wk = w.reshape(9, c, c)  # [tr*3+tc, ci, co]
     grid = (bsz, h // tile_h)
     kernel = functools.partial(_pallas_conv_kernel, tile_h=tile_h, hw=hw,
@@ -163,7 +167,7 @@ def pallas_conv(x, w, scale: float, dil: int, tile_h: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, c, c), lambda b, i: (0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -171,7 +175,7 @@ def pallas_conv(x, w, scale: float, dil: int, tile_h: int,
                                lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, h, hw, c), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * dil, hw + 2 * dil, c), jnp.int8),
+            pltpu.VMEM((tile_h + 2 * dil, wp, c), jnp.int8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
