@@ -115,11 +115,18 @@ def _use_pallas_conv(mcfg: ModelConfig, spec: dict, x) -> bool:
     mode = getattr(mcfg, "quant_conv", "auto")
     if mode == "xla":
         return False
+    hw_w = x.shape[2]
+    if not isinstance(hw_w, int):
+        # Symbolic dim (jax.export's shape-polymorphic, multi-platform
+        # tracing): a Mosaic custom call is neither shape-polymorphic
+        # nor CPU-lowerable, so exports always take the XLA emitter.
+        # Serving still gets the kernel win by running --quant int8
+        # through the CLI/Inferencer instead of the exported artifact.
+        return False
     from dynseg.ops import pallas_conv
 
-    if not pallas_conv.supported(int(x.shape[2]), spec["cin"],
-                                 spec["cout"], spec["kernel"],
-                                 spec["dilation"]):
+    if not pallas_conv.supported(hw_w, spec["cin"], spec["cout"],
+                                 spec["kernel"], spec["dilation"]):
         return False
     return mode == "pallas" or jax.devices()[0].platform == "tpu"
 

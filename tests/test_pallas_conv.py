@@ -108,3 +108,29 @@ def test_pallas_kernel_even_kernel_4x4():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=0, atol=1e-2)
+
+
+def test_export_falls_back_to_xla_under_symbolic_shapes():
+    """jax.export traces shape-polymorphic, multi-platform programs —
+    a Mosaic custom call is neither, so the quantized export must route
+    through the XLA emitter even with quant_conv='pallas'."""
+    from jax import export as jexport
+
+    mcfg, qvars, x = _quantized_setup(hw=24)
+    pcfg = dataclasses.replace(mcfg, quant_conv="pallas")
+    apply_fn = Q.make_apply(pcfg)
+
+    def probs(xx):
+        return jax.nn.softmax(apply_fn(qvars, xx, train=False), -1)
+
+    b, h, w = jexport.symbolic_shape("b, h, w")
+    spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+    exported = jexport.export(jax.jit(probs), platforms=("cpu",))(spec)
+    got = np.asarray(exported.call(x))  # runs the XLA path
+    want = np.asarray(jax.nn.softmax(
+        Q.make_apply(mcfg)(qvars, x, train=False), -1))
+    # exported programs may pick different conv algorithms — close in
+    # softmax space (near-tie pixels can flip labels either way, same
+    # as any algorithm change; the pallas-vs-xla argmax exactness is
+    # pinned separately above)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
