@@ -42,11 +42,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_tf_model(tf, num_classes: int, bands: int, width: float = 1.0):
+def build_tf_model(tf, num_classes: int, bands: int, width: float = 1.0,
+                   kernel_init: str = "glorot_uniform"):
     """dilated_icpr_rate6 in Keras ops — mirrors dynseg/models/dilated.py
     _ARCH + blocks.DilatedConvBlock exactly (BN, leaky 0.1, stride-1
     pools, no bias under BN). `width` scales the channel table the same
-    way ModelConfig.width_multiplier does (CPU pilots)."""
+    way ModelConfig.width_multiplier does (CPU pilots). `kernel_init`:
+    Keras's default is glorot_uniform; pass 'lecun_normal' to match the
+    flax Conv default the JAX framework uses — the initializer family is
+    a documented reconstruction bracket (SURVEY §3), and the protocol-
+    parity harness uses this knob to attribute accuracy gaps to it."""
     L = tf.keras.layers
     arch = [(5, 64, 1), (5, 64, 2), (4, 128, 3),
             (4, 128, 4), (3, 256, 5), (3, 256, 6)]
@@ -54,7 +59,8 @@ def build_tf_model(tf, num_classes: int, bands: int, width: float = 1.0):
     x = inp
     for k, f, d in arch:
         f = max(1, int(f * width))  # same trunc rule as ModelConfig
-        x = L.Conv2D(f, k, padding="same", dilation_rate=d, use_bias=False)(x)
+        x = L.Conv2D(f, k, padding="same", dilation_rate=d, use_bias=False,
+                     kernel_initializer=kernel_init)(x)
         x = L.BatchNormalization(momentum=0.9, epsilon=1e-5)(x)
         try:
             x = L.LeakyReLU(negative_slope=0.1)(x)   # Keras 3
