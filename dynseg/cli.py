@@ -143,14 +143,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pool_backward", default="xla", choices=["xla", "pallas"],
                    help="stride-1 max-pool VJP: XLA select_and_scatter or "
                         "the (H*W,C)-layout Pallas kernel (ops/pool.py)")
-    p.add_argument("--quant_conv", default="auto",
-                   choices=["auto", "xla", "pallas"],
-                   help="conv impl for --quant int8 blocks: auto = the "
-                        "K5 Pallas shifted-matmul kernel on TPU "
-                        "(measured 1.41x the Mosaic conv emitter at the "
-                        "serving block shape, fused dequant/BN/leaky/"
-                        "requant epilogue — ops/pallas_conv.py), xla = "
-                        "always the emitter")
+    p.add_argument("--quant_conv", default="xla",
+                   choices=["xla", "auto", "pallas"],
+                   help="conv impl for --quant int8 blocks. xla "
+                        "(DEFAULT) = the Mosaic conv emitter — measured "
+                        "fastest in the full net. The K5 Pallas "
+                        "shifted-matmul kernel (auto/pallas) beats only "
+                        "the conv-ONLY emitter; against the shipped "
+                        "fused configuration it ties per-block and "
+                        "loses 1.7x in-net (DESIGN.md K5 — kept as the "
+                        "experiment's record)")
     p.add_argument("--eval_every", type=int, default=500,
                    help="validation interval in iterations (0 disables)")
     p.add_argument("--checkpoint_every", type=int, default=1000,

@@ -62,12 +62,14 @@ class ModelConfig:
     # kernel with tie-split subgradient — dynseg/ops/pool.py, K4).
     pool_backward: str = "xla"
     # Conv implementation for the quantized (int8) serving blocks:
-    # "auto" (default) = the K5 Pallas shifted-matmul kernel on the TPU
-    # when the geometry gate passes (measured 1.41x the Mosaic conv
-    # emitter at the serving block shape — docs/int8_kernel_probe.json),
-    # XLA elsewhere; "xla" = always the emitter; "pallas" = force the
-    # kernel (interpret-mode on CPU; tests).
-    quant_conv: str = "auto"
+    # "xla" (DEFAULT) = the Mosaic conv emitter with XLA-fused epilogue
+    # — measured fastest in the full net (DESIGN.md K5: the Pallas
+    # kernel wins only against the conv-ONLY emitter; against the
+    # shipped fused configuration it ties per-block at best and loses
+    # 1.7x in-net to lost fusion). "auto" = the K5 kernel on TPU when
+    # the geometry gate passes; "pallas" = force it (interpret on CPU;
+    # tests). Both kept as the experiment's record, K1/K4-style.
+    quant_conv: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,14 +1,18 @@
-"""K5 — Pallas int8 block-conv kernel for the mixed-int8 serving path.
+"""K5 — Pallas int8 block-conv kernel: the attempted (and ultimately
+WAIVED) replacement for the mixed-int8 serving path's conv emitter.
 
-Why this exists (r5; VERDICT r4 weak #4 / next #7): the shipped int8
-path lowers `lax.conv_general_dilated` on int8 operands to the Mosaic
-conv emitter, measured at 139.9 TOPS = 35.5% of the v5e's nominal int8
-peak on the big serving block (8x592^2, 3x3 dil-6 256ch —
-docs/int8_kernel_probe.json row B). The probe's Pallas shifted-matmul
-formulation of the SAME conv hits 197.8 TOPS (row C) — 1.41x the
-emitter, and ~100% of the chip's bf16-peak RATE, which none of the
-int8 paths exceed (pure XLA int8 matmul: 14% of nominal int8 peak; the
-'2x int8 mode' was never observed in any lowering on this toolchain).
+Status (r5; VERDICT r4 weak #4 / next #7; full arc in DESIGN.md K5):
+this kernel beats the conv-ONLY emitter 1.41x (197.8 vs 139.9 TOPS at
+the 8x592^2 3x3-dil6-256ch serving block, docs/int8_kernel_probe.json)
+— but the SHIPPED path fuses the epilogue into the emitter conv, and
+against that configuration the kernel ties per-block at best
+(0.85x/0.88x/1.03x across the three quantized blocks) and loses 1.7x
+in the full net (the custom calls break XLA's surrounding fusion).
+`--quant_conv` therefore defaults to xla; this module + its exact-
+parity tests are the experiment's record (K1/K4 protocol). Durable
+probe findings: pure XLA int8 matmul reaches 14% of the nominal int8
+peak, and NO lowering on this toolchain exceeds ~the bf16 rate — the
+honest int8 ceiling is ~197 TF-equiv, and this kernel runs AT it.
 
 Formulation: a k x k dilated SAME conv is k^2 statically shifted
 (M, Cin) x (Cin, Cout) matmuls accumulated in int32 on the MXU. Each

@@ -108,10 +108,10 @@ def _quantize_act(x, sx):
 
 def _use_pallas_conv(mcfg: ModelConfig, spec: dict, x) -> bool:
     """Route this quantized block's conv through the K5 Pallas kernel?
-    quant_conv: 'xla' = never; 'pallas' = whenever the geometry gate
-    passes (runs interpret-mode on CPU — tests only, it is a slowdown
-    there); 'auto' (default) = geometry gate AND on the real TPU (the
-    1.41x is a TPU measurement — docs/int8_kernel_probe.json)."""
+    quant_conv: 'xla' (DEFAULT — measured fastest in the full net) =
+    never; 'pallas' = whenever the geometry gate passes (interpret-mode
+    on CPU — tests only); 'auto' = geometry gate AND the real TPU.
+    auto/pallas are the K5 experiment's record (DESIGN.md K5)."""
     mode = getattr(mcfg, "quant_conv", "auto")
     if mode == "xla":
         return False
@@ -164,13 +164,13 @@ def _block_forward(mcfg: ModelConfig, spec: dict, params, stats, quant,
         sw = quant["w_scale"]  # f32 (cout,)
         xq = x if in_scale is not None else _quantize_act(x, sx)
         if _use_pallas_conv(mcfg, spec, xq):
-            # K5 (ops/pallas_conv.py): the shifted-matmul kernel runs
-            # this conv 1.41x faster than the Mosaic conv emitter at
-            # the serving block shape (docs/int8_kernel_probe.json) and
-            # fuses the WHOLE epilogue — dequant+BN/bias affine fold,
-            # leaky, the streamed-int8 requant — into the launch (a
-            # pallas call cannot be fused into by XLA, so an unfused
-            # epilogue would cost a full feature-map round trip).
+            # K5 (ops/pallas_conv.py), NON-DEFAULT experimental route:
+            # the shifted-matmul kernel with the whole epilogue fused
+            # in-launch. Beats the conv-ONLY emitter 1.41x but ties the
+            # shipped fused-emitter per-block and loses 1.7x in-net
+            # (custom calls break XLA's surrounding fusion) — kept
+            # behind --quant_conv auto/pallas as the experiment's
+            # record (DESIGN.md K5).
             from dynseg.ops import pallas_conv
 
             a = (sx * sw).astype(jnp.float32)
