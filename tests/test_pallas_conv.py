@@ -134,3 +134,17 @@ def test_export_falls_back_to_xla_under_symbolic_shapes():
     # as any algorithm change; the pallas-vs-xla argmax exactness is
     # pinned separately above)
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
+
+
+def test_quant_conv_default_is_xla():
+    """The K5 measurement decided the default (DESIGN.md K5): the fused
+    emitter wins in the full net. A silent default flip would re-ship
+    the measured 1.7x in-net loss."""
+    from dynseg.config import ModelConfig
+
+    assert ModelConfig().quant_conv == "xla"
+    from dynseg.cli import build_argparser
+
+    a = next(a for a in build_argparser()._actions
+             if "--quant_conv" in a.option_strings)
+    assert a.default == "xla"
