@@ -473,6 +473,17 @@ def _adopt_checkpoint_model(cfg: Config, stats: dict,
         # value (default 0) is irrelevant here.
         cfg = dc.replace(cfg, train=dc.replace(
             cfg.train, ema_decay=float(stats["ema_decay"])))
+    if "lr_decay_rate" in stats:
+        # Same structural concern (r5, found by the 10k LR-decay soak's
+        # eval legs): lr_decay_rate < 1 swaps the constant LR for an
+        # optax schedule, which adds a count leaf to the opt_state —
+        # an eval invocation that omits --lr_decay_rate built a
+        # mismatched template and orbax refused the restore.
+        cfg = dc.replace(cfg, train=dc.replace(
+            cfg.train,
+            lr_decay_rate=float(stats["lr_decay_rate"]),
+            lr_decay_steps=int(stats.get(
+                "lr_decay_steps", cfg.train.lr_decay_steps))))
     return cfg
 
 
@@ -611,6 +622,11 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
         # opt_state layout) — _adopt_checkpoint_model mirrors it into
         # the trainer-free template config.
         "ema_decay": cfg.train.ema_decay,
+        # Also structural: lr_decay_rate < 1 swaps the constant LR for
+        # an optax schedule (count leaf in opt_state) — adopted at
+        # restore like ema_decay (r5).
+        "lr_decay_rate": cfg.train.lr_decay_rate,
+        "lr_decay_steps": cfg.train.lr_decay_steps,
         # Data-protocol provenance (reproducibility — which split/bands
         # produced this checkpoint; informational, not restored).
         "val_tiles": cfg.data.val_tiles,

@@ -293,3 +293,43 @@ def test_ema_flags_resolution():
     bad = build_argparser().parse_args(base + ["--ema_decay", "1.0"])
     with pytest.raises(ValueError, match="ema_decay"):
         config_from_args(bad).validate()
+
+
+def test_lr_decay_checkpoint_evals_without_lr_flags(tmp_path):
+    """r5 (found by the 10k LR-decay soak): lr_decay_rate < 1 swaps the
+    constant LR for an optax schedule, adding a count leaf to the
+    opt_state — validate_test invoked WITHOUT the lr flags must adopt
+    the schedule layout from the stats sidecar (like ema_decay) instead
+    of failing the orbax restore with a tree mismatch."""
+    import dataclasses
+
+    from dynseg.cli import (build_argparser, config_from_args, run_testing,
+                            run_training)
+
+    args = build_argparser().parse_args([
+        "--operation", "training", "--dataset", "synthetic",
+        "--output_path", str(tmp_path), "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed", "--values", "9",
+        "--niter", "6", "--batch_size", "8", "--window_batch", "32",
+        "--lr_decay_rate", "0.5", "--lr_decay_steps", "3",
+        "--no_prediction_maps",
+    ])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, width_multiplier=0.125),
+        train=dataclasses.replace(cfg.train, eval_every=10_000,
+                                  checkpoint_every=10_000),
+    )
+    run_training(cfg, log=lambda *_: None)
+    # eval WITHOUT --lr_decay_rate: the sidecar must supply the layout
+    eargs = build_argparser().parse_args([
+        "--operation", "validate_test", "--dataset", "synthetic",
+        "--output_path", str(tmp_path), "--net_type", "dilated_grsl",
+        "--values", "9", "--window_batch", "32", "--no_prediction_maps",
+    ])
+    ecfg = config_from_args(eargs)
+    ecfg = dataclasses.replace(
+        ecfg, model=dataclasses.replace(ecfg.model, width_multiplier=0.125))
+    scores = run_testing(ecfg, log=lambda *_: None)
+    assert 0.0 <= float(scores["oa"]) <= 1.0
