@@ -665,6 +665,21 @@ def run_training(cfg: Config, log=print, keep_best: bool = False) -> dict:
                     f"on/off mid-run — resume with the original "
                     f"--ema_decay or train fresh in a new --output_path"
                 )
+            prev_lr_decay = float(prev_stats.get("lr_decay_rate", 1.0))
+            if (prev_lr_decay < 1.0) != (cfg.train.lr_decay_rate < 1.0):
+                # Same structural class (r5): a schedule adds a count
+                # leaf to the opt_state, so constant<->schedule cannot
+                # be toggled mid-run. Changing rate/steps WITHIN a
+                # schedule is structurally fine (the new schedule
+                # applies from the resume point, like an LR change).
+                raise ValueError(
+                    f"--resume: checkpoint was trained with "
+                    f"lr_decay_rate={prev_lr_decay} but the CLI "
+                    f"requests {cfg.train.lr_decay_rate}; the LR "
+                    f"schedule cannot be toggled on/off mid-run — "
+                    f"resume with a compatible --lr_decay_rate or "
+                    f"train fresh in a new --output_path"
+                )
         state, start_iter = ckpt.restore(trainer, scheduler)
         if set(scheduler.values) != set(int(v) for v in cfg.sched.values):
             # The samplers/buckets are built from --values; a checkpoint

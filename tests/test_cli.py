@@ -333,3 +333,43 @@ def test_lr_decay_checkpoint_evals_without_lr_flags(tmp_path):
         ecfg, model=dataclasses.replace(ecfg.model, width_multiplier=0.125))
     scores = run_testing(ecfg, log=lambda *_: None)
     assert 0.0 <= float(scores["oa"]) <= 1.0
+
+
+def test_resume_refuses_lr_schedule_toggle(tmp_path):
+    """r5: constant<->schedule LR cannot be toggled on --resume (the
+    schedule adds a count leaf to the opt_state); the refusal must be a
+    clear error, not an orbax tree mismatch."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from dynseg.cli import build_argparser, config_from_args, run_training
+
+    base = [
+        "--operation", "training", "--dataset", "synthetic",
+        "--output_path", str(tmp_path), "--net_type", "dilated_grsl",
+        "--distribution_type", "single_fixed", "--values", "9",
+        "--niter", "4", "--batch_size", "8", "--window_batch", "32",
+        "--no_prediction_maps",
+    ]
+    args = build_argparser().parse_args(base + ["--lr_decay_rate", "0.5",
+                                                "--lr_decay_steps", "2"])
+    cfg = config_from_args(args)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, width_multiplier=0.125),
+        train=dataclasses.replace(cfg.train, eval_every=10_000,
+                                  checkpoint_every=2),
+    )
+    run_training(cfg, log=lambda *_: None)
+    # resume WITHOUT the schedule -> refuse loudly
+    rargs = build_argparser().parse_args(base + ["--resume",
+                                                 "--niter", "6"])
+    rcfg = config_from_args(rargs)
+    rcfg = dataclasses.replace(
+        rcfg,
+        model=dataclasses.replace(rcfg.model, width_multiplier=0.125),
+        train=dataclasses.replace(rcfg.train, eval_every=10_000,
+                                  checkpoint_every=2, resume=True))
+    with _pytest.raises(ValueError, match="lr_decay_rate"):
+        run_training(rcfg, log=lambda *_: None)
