@@ -257,6 +257,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--scan_chunk", type=int, default=8,
                    help="window batches fused per device launch (static "
                         "scan length; programs are tile-size independent)")
+    p.add_argument("--window_fold", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="grid-fold overlap-add: place each k x k class of "
+                        "non-overlapping windows as one dense canvas add "
+                        "instead of the sequential per-window RMW loop "
+                        "(measured 1.12-1.41x per scale on v5e). auto = "
+                        "on for single-device runs with <=4 distinct tile "
+                        "shapes (fold programs compile per tile shape); "
+                        "off = legacy sequential accumulator")
     p.add_argument("--dense_scan_chunk", type=int, default=4)
     p.add_argument("--hbm_budget_gb", type=float, default=10.0,
                    help="test sets above this stream tile-by-tile from "
@@ -372,6 +381,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dense_halo=args.dense_halo,
             dense_block_batch=args.dense_block_batch,
             scan_chunk=args.scan_chunk,
+            window_fold=args.window_fold,
             dense_scan_chunk=args.dense_scan_chunk,
             hbm_budget_gb=args.hbm_budget_gb,
             eroded_boundary_radius=args.eval_eroded_boundaries,

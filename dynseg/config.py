@@ -192,6 +192,18 @@ class InferConfig:
     # host loop over chunks (donated accumulators chain them) keeps the
     # device saturated past the per-launch dispatch latency.
     scan_chunk: int = 8
+    # Grid-fold overlap-add (r5): the λ/2 window grid decomposes into
+    # k×k classes of NON-overlapping windows (k = ceil(s/stride)); each
+    # class places as one dense pad→transpose→reshape canvas add,
+    # replacing the sequential per-window RMW loop that measured 41% of
+    # the window pass at s=25 (docs/k3_overlap_probe.json; 1.41×
+    # measured at that scale). Programs are per-(tile h,w, scale) —
+    # "auto" enables it only on a single device AND when the tile set
+    # has ≤4 distinct valid shapes (unequal tile sets would compile per
+    # shape; the legacy chunked path stays shape-independent). "on"
+    # forces it for any shape count (still single-device only); "off"
+    # keeps the sequential accumulator everywhere.
+    window_fold: str = "auto"
     dense_scan_chunk: int = 4
     # Test sets above this budget stream tile-by-tile from host instead
     # of living in HBM (peak device memory = one padded tile + buffers).
@@ -301,6 +313,9 @@ class Config:
               f"window_batch must be >=1, got {self.infer.window_batch}")
         check(self.infer.mode in ("window", "dense"),
               f"inference mode {self.infer.mode!r} not in ('window','dense')")
+        check(self.infer.window_fold in ("auto", "on", "off"),
+              f"window_fold {self.infer.window_fold!r} not in "
+              f"('auto','on','off')")
         check(self.infer.eroded_boundary_radius >= 0,
               "eval_eroded_boundaries must be >=0")
         check(self.infer.dense_block >= 1,

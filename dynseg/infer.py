@@ -12,8 +12,19 @@ host numpy — here the whole thing stays on device:
   * A jitted step gathers a fixed-size batch of windows (static shapes),
     runs the net, softmaxes, and ACCUMULATES prob/count maps in-place
     via a fori_loop of dynamic_update_slice adds (donated buffers — no
-    reallocation per batch). This is the jnp overlap-add path; the Pallas
-    K3 kernel is a drop-in upgrade behind the same interface.
+    reallocation per batch). This is the legacy jnp overlap-add path;
+    the measured default on a single device is the GRID-FOLD below.
+  * Grid-fold overlap-add (r5, `window_fold`): the sequential RMW loop
+    measured 41% of the whole window pass at s=25 on the v5e (~12 us
+    per window of per-op latency, buffer-size independent —
+    docs/k3_overlap_probe.json). The λ/2 grid decomposes into k×k
+    classes of NON-overlapping windows (k = ceil(s/stride)); each class
+    places as one dense pad→transpose→reshape canvas and one
+    static-offset add, so a (tile, scale) pass is ONE launch: a scan of
+    batched forwards collecting all window probs, then ≤k² dense adds
+    (+ a short sequential loop for clamped tail origins). Measured
+    1.41×/1.21×/1.12× full-pass at s=25/35/65 on 2048² tiles, bitwise-
+    equal counts, probs equal to float-add reorder (~1e-6).
   * Batches are fused into fixed-size lax.scan chunks per launch, with an
     async host loop over chunks: every compiled program is independent of
     the tile size (one bulk + one tail program per scale — a many-tile
@@ -56,6 +67,18 @@ def window_origins(lo: int, hi: int, size: int, stride: int, lim: int) -> List[i
     # Drop windows fully past hi except one trailing for symmetry of voting.
     out = [r for r in origins if r < hi]
     return out or [min(lim, max(0, lo))]
+
+
+def _split_uniform(xs: Sequence[int], stride: int) -> Tuple[List[int], List[int]]:
+    """Longest uniform-`stride` prefix of window origins + the tail.
+    window_origins yields an arithmetic sequence with at most a few
+    trailing origins clamped to the buffer limit; the uniform bulk is
+    what the grid-fold places densely, the tail keeps the sequential
+    RMW path."""
+    n = 1
+    while n < len(xs) and xs[n] - xs[n - 1] == stride:
+        n += 1
+    return list(xs[:n]), list(xs[n:])
 
 
 def _dihedral_img(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -113,6 +136,11 @@ class Inferencer:
             static_argnames=("block", "halo"),
             donate_argnames=("prob",),
         )
+        # Grid-fold programs keyed by (scale, stride, rows, cols) — the
+        # origin lists fully determine the fold geometry (see
+        # _fold_program). jit re-traces per variables-tree structure
+        # (float vs quantized) and tile dtype on top of this.
+        self._fold_jits: Dict[tuple, tuple] = {}
         self.set_tiles(tiles)
 
     def set_tiles(self, tiles: TileSet) -> None:
@@ -146,6 +174,11 @@ class Inferencer:
         padded = _fill_padded_context(
             mirror_pad(tiles, self.pad, pad_masks=False), self.pad)
         self.valid_hw = np.asarray(tiles.valid_hw)
+        # Distinct valid shapes gate window_fold="auto": fold programs
+        # are per-(h, w, scale), so a many-shape tile set would compile
+        # per shape (the legacy chunked path compiles per scale only).
+        self._n_distinct_hw = len(
+            {(int(a), int(b)) for a, b in self.valid_hw})
         self.padded_hw = padded.images.shape[1:3]
         from dynseg.data.tiles import storage_dtype
 
@@ -548,6 +581,132 @@ class Inferencer:
             return_probs=return_probs,
         )
 
+    def _use_fold(self, s: int, rows: Sequence[int],
+                  cols: Sequence[int]) -> bool:
+        """Grid-fold eligibility for one (tile, scale). Single-device
+        only (the legacy path shards window batches over the mesh; the
+        fold's collected prob buffer would need an all_gather).
+        "auto" additionally requires a small distinct-shape count (each
+        shape compiles its own fold programs) and bounds the collected
+        probs buffer (DYNSEG_FOLD_MEM_GB, default 2.0 — larger tiles
+        fall back to the streaming chunked path)."""
+        import os
+
+        mode = self.cfg.infer.window_fold
+        if mode == "off" or self.n_dev > 1:
+            return False
+        B = self.cfg.infer.window_batch
+        nw = len(rows) * len(cols)
+        nb = -(-nw // B)
+        est = nb * B * s * s * self.nc * 4
+        limit = float(os.environ.get("DYNSEG_FOLD_MEM_GB", "2.0")) * 1e9
+        if est > limit:
+            return False
+        return mode == "on" or self._n_distinct_hw <= 4
+
+    def _fold_program(self, s: int, stride: int, rows: Sequence[int],
+                      cols: Sequence[int]):
+        """Build (or fetch) the one-launch grid-fold program for a
+        (scale, origin-grid): a scan of batched forwards collecting
+        every window's softmax probs, then k×k dense class placements
+        (disjoint windows per class → pad/transpose/reshape canvas +
+        static-offset add) + a sequential RMW loop over the few clamped
+        tail origins. Returns (jitted_fn, origins_batched) — both baked
+        per key, re-used across tiles of the same shape."""
+        key = (s, stride, tuple(rows), tuple(cols))
+        hit = self._fold_jits.get(key)
+        if hit is not None:
+            return hit
+        B = self.cfg.infer.window_batch
+        rows_u, rows_t = _split_uniform(rows, stride)
+        cols_u, cols_t = _split_uniform(cols, stride)
+        bulk = [(r, c) for r in rows_u for c in cols_u]
+        # Tails: bulk rows × tail cols, plus every tail row in full.
+        tails = ([(r, c) for r in rows_u for c in cols_t]
+                 + [(r, c) for r in rows_t for c in cols])
+        nbu, nt = len(bulk), len(tails)
+        origins = np.array(bulk + tails, np.int32).reshape(-1, 2)
+        n_pad = (-(nbu + nt)) % B
+        if n_pad:
+            # Padding windows gather at (0,0); their probs sit past
+            # [nbu+nt) in the collected buffer and are never placed.
+            origins = np.concatenate(
+                [origins, np.zeros((n_pad, 2), np.int32)])
+        nb = len(origins) // B
+        origins_b = origins.reshape(nb, B, 2)
+        nru, ncu = len(rows_u), len(cols_u)
+        r0, c0 = rows_u[0], cols_u[0]
+        k = -(-s // stride)  # ceil: class spacing k*stride >= s
+        kst = k * stride
+        nc = self.nc
+        tails_np = np.array(tails, np.int32).reshape(-1, 2)
+
+        def impl(variables, tile, prob, cnt, origins):
+            tile = tile.astype(jnp.float32)
+            c = tile.shape[-1]
+
+            def gather(o):
+                w = jax.lax.dynamic_slice(
+                    tile, (o[0], o[1], 0), (s, s, c))
+                return (w - self.mean) / self.std
+
+            def batch_body(_, ob):
+                windows = jax.vmap(gather)(ob)
+                logits = self._apply(variables, windows, train=False)
+                return None, jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1)
+
+            _, allprobs = jax.lax.scan(batch_body, None, origins)
+            allprobs = allprobs.reshape(nb * B, s, s, nc)
+            bulkp = allprobs[:nbu].reshape(nru, ncu, s, s, nc)
+            for a in range(k):
+                na = len(range(a, nru, k))
+                if na == 0:
+                    continue
+                for b in range(k):
+                    nb_ = len(range(b, ncu, k))
+                    if nb_ == 0:
+                        continue
+                    sub = bulkp[a::k, b::k]  # (na, nb_, s, s, nc)
+                    canvas = jnp.zeros(
+                        (na, kst, nb_, kst, nc), jnp.float32)
+                    canvas = canvas.at[:, :s, :, :s, :].set(
+                        sub.transpose(0, 2, 1, 3, 4))
+                    canvas = canvas.reshape(na * kst, nb_ * kst, nc)
+                    R = (na - 1) * kst + s
+                    C = (nb_ - 1) * kst + s
+                    canvas = canvas[:R, :C]
+                    ra, cb = r0 + a * stride, c0 + b * stride
+                    prob = prob.at[ra:ra + R, cb:cb + C, :].add(canvas)
+                    ones = jnp.zeros(
+                        (kst, kst, 1), jnp.float32).at[:s, :s].set(1.0)
+                    cnt = cnt.at[ra:ra + R, cb:cb + C, :].add(
+                        jnp.tile(ones, (na, nb_, 1))[:R, :C])
+            if nt:
+                tailp = jax.lax.dynamic_slice(
+                    allprobs, (nbu, 0, 0, 0), (nt, s, s, nc))
+                tailo = jnp.asarray(tails_np)
+
+                def body(i, carry):
+                    p, n = carry
+                    o = tailo[i]
+                    cur = jax.lax.dynamic_slice(
+                        p, (o[0], o[1], 0), (s, s, nc))
+                    p = jax.lax.dynamic_update_slice(
+                        p, cur + tailp[i], (o[0], o[1], 0))
+                    curn = jax.lax.dynamic_slice(
+                        n, (o[0], o[1], 0), (s, s, 1))
+                    n = jax.lax.dynamic_update_slice(
+                        n, curn + 1.0, (o[0], o[1], 0))
+                    return p, n
+
+                prob, cnt = jax.lax.fori_loop(0, nt, body, (prob, cnt))
+            return prob, cnt
+
+        fn = jax.jit(impl, donate_argnames=("prob", "cnt"))
+        self._fold_jits[key] = (fn, origins_b)
+        return self._fold_jits[key]
+
     def _window_device(self, variables, tile_idx: int,
                        scales: Optional[Sequence[int]] = None,
                        override=None):
@@ -577,6 +736,11 @@ class Inferencer:
             stride = min(s, max(1, int(round(s * self.cfg.infer.stride_fraction))))
             rows = window_origins(self.pad, self.pad + h, s, stride, Hp - s)
             cols = window_origins(self.pad, self.pad + w, s, stride, Wp - s)
+            if self._use_fold(s, rows, cols):
+                fn, origins_b = self._fold_program(s, stride, rows, cols)
+                prob, cnt = fn(variables, tile, prob, cnt,
+                               jnp.asarray(origins_b))
+                continue
             origins = np.array(
                 [(r, c) for r in rows for c in cols], dtype=np.int32
             )

@@ -182,10 +182,12 @@ def test_scan_chunk_invariance(rng, chunk):
     results = []
     for c in (8, chunk):
         cfg = cfg_for(scales=(12, 16), window_batch=16)
+        # window_fold=off: this test pins the LEGACY chunked-launch
+        # structure (the fold ignores scan_chunk entirely).
         cfg = dataclasses.replace(
             cfg, infer=dataclasses.replace(
                 cfg.infer, scan_chunk=c, dense_scan_chunk=max(1, c // 2),
-                dense_block=16, dense_halo=30)
+                dense_block=16, dense_halo=30, window_fold="off")
         )
         inf = Inferencer(cfg, ts)
         pw, prw = inf.predict_tile(variables, 0)
@@ -243,8 +245,12 @@ def test_multi_device_inference_matches_single(rng):
     import jax.sharding as shd
 
     cfg = cfg_for(scales=(12, 16), window_batch=16)
+    # window_fold=off: the grid-fold is single-device-only, so exact
+    # equality requires both legs on the legacy accumulator (fold parity
+    # has its own tests below).
     cfg = dataclasses.replace(
-        cfg, infer=dataclasses.replace(cfg.infer, dense_block=16, dense_halo=30)
+        cfg, infer=dataclasses.replace(cfg.infer, dense_block=16,
+                                       dense_halo=30, window_fold="off")
     )
     ts = _tileset(rng, h=40, w=34)
     model = build_model(cfg.model)
@@ -538,6 +544,10 @@ def test_tta_multi_device_matches_single(rng):
     on an 8-device mesh must match the single-device result."""
     ts = _tileset(rng, h=24, w=24)
     cfg = cfg_for(scales=(12,), window_batch=16)
+    # Legacy accumulator on both legs (the grid-fold is single-device
+    # only; exact equality needs matching add order).
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, window_fold="off"))
     model = build_model(cfg.model)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
 
@@ -628,3 +638,122 @@ def test_inferencer_does_not_pin_host_copies(rng):
     assert inf.valid_hw.shape == (1, 2)
     h, w = inf.padded_hw
     assert h == ts.images.shape[1] + 2 * inf.pad
+
+
+# ------------------------- grid-fold overlap-add (r5) ------------------ #
+def _fold_cfgs(scales, stride_fraction=0.5, window_batch=8):
+    base = cfg_for(scales, window_batch=window_batch,
+                   stride_fraction=stride_fraction)
+    on = dataclasses.replace(
+        base, infer=dataclasses.replace(base.infer, window_fold="on"))
+    off = dataclasses.replace(
+        base, infer=dataclasses.replace(base.infer, window_fold="off"))
+    return on, off
+
+
+@pytest.mark.parametrize("stride_fraction", [0.5, 1.0])
+def test_window_fold_matches_legacy(rng, stride_fraction):
+    """The grid-fold accumulator must reproduce the legacy sequential
+    RMW path: identical counts, probs equal to float-add reorder.
+    stride_fraction=1.0 exercises clamped tail origins (non-uniform
+    spacing -> the fold's sequential tail branch)."""
+    ts = _tileset(rng, h=47, w=61)
+    on, off = _fold_cfgs(scales=(12, 16), stride_fraction=stride_fraction)
+    model = build_model(on.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+
+    inf_on = Inferencer(on, ts)
+    inf_off = Inferencer(off, ts)
+    # the fold must actually engage for this geometry
+    s = 12
+    stride = min(s, max(1, int(round(s * stride_fraction))))
+    Hp, Wp = inf_on.padded_hw
+    rows = window_origins(inf_on.pad, inf_on.pad + 47, s, stride, Hp - s)
+    cols = window_origins(inf_on.pad, inf_on.pad + 61, s, stride, Wp - s)
+    assert inf_on._use_fold(s, rows, cols)
+    assert not inf_off._use_fold(s, rows, cols)
+
+    p_on, pr_on = inf_on.predict_tile(variables, 0)
+    p_off, pr_off = inf_off.predict_tile(variables, 0)
+    np.testing.assert_allclose(pr_on, pr_off, atol=1e-5)
+    # preds may only differ where probs tie to reorder tolerance
+    diff = p_on != p_off
+    if diff.any():
+        top2 = np.sort(np.asarray(pr_off), axis=-1)
+        assert (top2[..., -1] - top2[..., -2])[diff].max() < 1e-5
+    assert inf_on._fold_jits, "fold program cache unexpectedly empty"
+    assert not inf_off._fold_jits
+
+
+def test_window_fold_tail_origins_covered(rng):
+    """Clamped (off-stride) tail origins cannot arise through the
+    Inferencer's own geometry (pad >= scale >= stride makes
+    window_origins uniform), but _fold_program defends against them for
+    any caller: a fabricated origin list with non-uniform tails must
+    reproduce a numpy accumulate of exactly those windows."""
+    ts = _tileset(rng, h=50, w=38)
+    on, _ = _fold_cfgs(scales=(16,), window_batch=4)
+    model = build_model(on.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    inf = Inferencer(on, ts)
+    s, stride = 16, 12
+    rows = [8, 20, 32, 44, 51]   # uniform prefix + clamped tail 51
+    cols = [10, 22, 34, 43]      # uniform prefix + clamped tail 43
+    from dynseg.infer import _split_uniform
+    assert _split_uniform(rows, stride)[1] == [51]
+    assert _split_uniform(cols, stride)[1] == [43]
+
+    fn, origins_b = inf._fold_program(s, stride, rows, cols)
+    Hp, Wp = inf.padded_hw
+    prob = jnp.zeros((Hp, Wp, inf.nc), jnp.float32)
+    cnt = jnp.zeros((Hp, Wp, 1), jnp.float32)
+    tile = inf._tile(0)
+    prob, cnt = fn(variables, tile, prob, cnt, jnp.asarray(origins_b))
+
+    padded = np.asarray(inf.images[0], np.float32)
+    acc = np.zeros((Hp, Wp, inf.nc), np.float64)
+    ref_cnt = np.zeros((Hp, Wp, 1), np.float64)
+    for r in rows:
+        for c in cols:
+            win = (padded[r:r + s, c:c + s] - ts.mean) / ts.std
+            logits = model.apply(variables, jnp.asarray(win)[None],
+                                 train=False)
+            p = np.asarray(jax.nn.softmax(logits[0], axis=-1))
+            acc[r:r + s, c:c + s] += p
+            ref_cnt[r:r + s, c:c + s] += 1.0
+    np.testing.assert_allclose(np.asarray(prob), acc, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
+
+
+def test_window_fold_auto_policy(rng):
+    """auto: on for single-device few-shape sets within the memory cap;
+    off under a mesh, past the cap, or with many distinct shapes."""
+    import os
+
+    ts = _tileset(rng, h=30, w=30)
+    base = cfg_for(scales=(12,))
+    inf = Inferencer(base, ts)
+    rows = cols = list(range(40, 70, 6))
+    assert inf._use_fold(12, rows, cols)
+
+    # memory cap (env-tunable) forces the streaming legacy path
+    os.environ["DYNSEG_FOLD_MEM_GB"] = "0.000001"
+    try:
+        assert not inf._use_fold(12, rows, cols)
+    finally:
+        del os.environ["DYNSEG_FOLD_MEM_GB"]
+    assert inf._use_fold(12, rows, cols)
+
+    # many distinct shapes: auto declines, "on" forces
+    inf._n_distinct_hw = 5
+    assert not inf._use_fold(12, rows, cols)
+    on_cfg = dataclasses.replace(
+        base, infer=dataclasses.replace(base.infer, window_fold="on"))
+    inf_on = Inferencer(on_cfg, ts)
+    inf_on._n_distinct_hw = 5
+    assert inf_on._use_fold(12, rows, cols)
+
+    # mesh: fold never engages (legacy path shards windows)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    inf_mesh = Inferencer(on_cfg, ts, mesh=mesh)
+    assert not inf_mesh._use_fold(12, rows, cols)
