@@ -79,8 +79,10 @@ def test_bench_main_reports_strict_and_meta(capsys):
     calls = []
 
     def fake_run_bench(env_extra, batch, steps, steps_per_call=1):
-        calls.append(steps_per_call)
-        return {"patches_per_sec": 100.0 * steps_per_call,
+        calls.append((steps_per_call,
+                      env_extra.get("DYNSEG_BENCH_COMPUTE_DTYPE", "float32")))
+        scale = 1.147 if "DYNSEG_BENCH_COMPUTE_DTYPE" in env_extra else 1.0
+        return {"patches_per_sec": 100.0 * steps_per_call * scale,
                 "platform": "tpu", "dispatch_ms": 27.5}
 
     bench.run_bench = fake_run_bench
@@ -99,7 +101,10 @@ def test_bench_main_reports_strict_and_meta(capsys):
     line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] == 1600.0          # fused spc=16 stays primary
     assert line["train_strict_spc1"] == 100.0
-    assert calls == [16, 1]
+    # r5: the bf16-compute option's rate rides along (fused cadence,
+    # bfloat16 env knob) without touching the f32 primary value
+    assert calls == [(16, "float32"), (1, "float32"), (16, "bfloat16")]
+    assert line["train_bf16_patches_per_sec"] == round(1600.0 * 1.147, 2)
     assert line["inference_mpx_per_s"]["window_top2"] == 2.5
     assert line["inference_meta"]["reps"] == 5
     assert "raw_pass_s" in line["inference_meta"]
